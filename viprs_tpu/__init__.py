@@ -1,0 +1,31 @@
+"""
+viprs_tpu — a TPU-native framework for Variational Inference of Polygenic Risk Scores.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the reference
+``viprs`` package (summary-statistics Bayesian PRS via coordinate-ascent variational
+inference), built for TPU hardware: blocked dense LD tiles on the MXU, a model-grid
+batch axis, fused on-device EM loops, and block-sharded multi-chip execution.
+
+See DESIGN.md at the repository root for the architecture.
+"""
+
+import jax
+
+# Full-framework requirement: ELBO convergence is measured at 1e-6 absolute on
+# objectives of magnitude ~1e5-1e6 (reference defaults, viprs/model/VIPRS.py:909-919),
+# which requires float64 scalar accumulation. State arrays remain explicitly float32.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+def __getattr__(name):
+    """Lazy top-level exports (avoids importing heavy modules for ops-only use)."""
+    _model_exports = {'VIPRS', 'VIPRSMix', 'VIPRSGrid', 'BayesPRSModel', 'LDPredInf'}
+    _grid_exports = {'HyperparameterGrid', 'select_best_model', 'bayesian_model_average'}
+    if name in _model_exports:
+        from . import model
+        return getattr(model, name)
+    if name in _grid_exports:
+        from . import gridsearch
+        return getattr(gridsearch, name)
+    raise AttributeError(f"module 'viprs_tpu' has no attribute {name!r}")

@@ -1,0 +1,138 @@
+"""The canonical device-facing dataset: harmonized summary statistics + blocked LD.
+
+This is the boundary between the (host, file-format-aware) data layer and the
+(device, shape-static) compute layer. The reference passes a magenpy
+``GWADataLoader`` into every model (BayesPRSModel.py:37-80); here models consume a
+:class:`SummaryStatsDataset`, which the loader machinery (data/loader.py) builds
+from files, and which can also be constructed directly from arrays (simulations,
+tests, notebooks).
+"""
+
+import dataclasses
+from typing import Dict, Optional, List
+
+import numpy as np
+import pandas as pd
+import jax.numpy as jnp
+
+from ..ops.block_ld import BlockLD, BlockLayout, pack_dense_blocks, pack_banded
+
+
+@dataclasses.dataclass
+class SummaryStatsDataset:
+    """Harmonized GWAS summary statistics with block-packed LD.
+
+    :ivar ld: BlockLD device operator.
+    :ivar layout: host-side block layout (chromosome <-> flat index mapping).
+    :ivar std_beta: {chrom: (m_c,)} standardized marginal betas
+        (pseudo-correlations z/sqrt(n + z^2); the reference's
+        ``SumstatsTable.get_snp_pseudo_corr``, BayesPRSModel.py:135).
+    :ivar n_per_snp: {chrom: (m_c,)} per-variant GWAS sample sizes.
+    :ivar snp_table: {chrom: DataFrame[SNP, POS, A1, A2]} variant metadata
+        (optional; required for table I/O and harmonization with other data).
+    :ivar ld_scores: optional {chrom: (m_c,)} LD scores (for LDSC h2 init).
+    """
+    ld: BlockLD
+    layout: BlockLayout
+    std_beta: Dict
+    n_per_snp: Dict
+    snp_table: Optional[Dict] = None
+    ld_scores: Optional[Dict] = None
+    phenotype_likelihood: str = 'gaussian'
+
+    # ------------------------------------------------------------------ props
+    @property
+    def chromosomes(self):
+        return list(self.layout.chromosomes)
+
+    @property
+    def shapes(self):
+        return {c: s for c, s in zip(self.layout.chromosomes, self.layout.chrom_sizes)}
+
+    @property
+    def m(self) -> int:
+        return self.layout.m
+
+    @property
+    def n_snps(self) -> int:
+        return self.m
+
+    @property
+    def n(self) -> float:
+        return float(max(np.max(v) for v in self.n_per_snp.values()))
+
+    # ------------------------------------------------------------- flat views
+    def std_beta_flat(self):
+        return jnp.asarray(
+            self.layout.to_flat(self.std_beta).reshape(self.layout.nb, self.layout.block_size),
+            dtype=jnp.float32)
+
+    def n_per_snp_flat(self):
+        return jnp.asarray(
+            self.layout.to_flat(self.n_per_snp).reshape(self.layout.nb, self.layout.block_size),
+            dtype=jnp.float32)
+
+    # ------------------------------------------------------------ constructors
+    @classmethod
+    def from_dense_blocks(cls, ld_blocks: Dict, std_beta: Dict, n_per_snp: Dict,
+                          snp_table: Optional[Dict] = None,
+                          block_size: int = 1024, quantize: bool = False,
+                          **kwargs):
+        """Build from per-chromosome lists of dense LD blocks (LDetect-style)."""
+        ld, layout = pack_dense_blocks(ld_blocks, block_size=block_size,
+                                       quantize=quantize)
+        ds = cls(ld=ld, layout=layout, std_beta=std_beta, n_per_snp=n_per_snp,
+                 snp_table=snp_table, **kwargs)
+        ds._check_shapes()
+        return ds
+
+    @classmethod
+    def from_banded(cls, banded: Dict, std_beta: Dict, n_per_snp: Dict,
+                    snp_table: Optional[Dict] = None,
+                    block_size: int = 1024, quantize: bool = False, **kwargs):
+        """Build from per-chromosome banded LD arrays (the reference's on-disk
+        layout: {data, indptr, left_bound}, VIPRS.py:167-172)."""
+        ld, layout = pack_banded(banded, block_size=block_size, quantize=quantize)
+        ds = cls(ld=ld, layout=layout, std_beta=std_beta, n_per_snp=n_per_snp,
+                 snp_table=snp_table, **kwargs)
+        ds._check_shapes()
+        return ds
+
+    def _check_shapes(self):
+        for c, sz in self.shapes.items():
+            assert len(self.std_beta[c]) == sz, \
+                f"std_beta for chromosome {c} has wrong length"
+            assert len(self.n_per_snp[c]) == sz
+
+    # ------------------------------------------------------------------ misc
+    def default_snp_table(self):
+        """Synthesize a minimal SNP table when none was provided."""
+        if self.snp_table is not None:
+            return self.snp_table
+        tables = {}
+        for c, sz in self.shapes.items():
+            tables[c] = pd.DataFrame({
+                'CHR': c,
+                'SNP': [f'rs_{c}_{i}' for i in range(sz)],
+                'POS': np.arange(sz, dtype=np.int64),
+                'A1': 'A', 'A2': 'G',
+            })
+        return tables
+
+    def compute_ld_scores(self):
+        """LD scores l_j = sum_k r_jk^2 from the blocked LD (for LDSC init)."""
+        if self.ld_scores is not None:
+            return self.ld_scores
+        diag = np.asarray(self.ld.diag, dtype=np.float64) * self.ld.scale
+        scores_flat = (diag ** 2).sum(axis=2).reshape(-1)
+        off = np.asarray(self.ld.off, dtype=np.float64) * self.ld.scale
+        for k in range(self.ld.n_bands):
+            row_part = (off[k] ** 2).sum(axis=2).reshape(-1)   # rows b
+            col_part = (off[k] ** 2).sum(axis=1).reshape(-1)   # cols b+k+1
+            B = self.layout.block_size
+            scores_flat += row_part
+            shifted = np.zeros_like(col_part)
+            shifted[(k + 1) * B:] = col_part[:-(k + 1) * B]
+            scores_flat += shifted
+        self.ld_scores = self.layout.from_flat(scores_flat)
+        return self.ld_scores

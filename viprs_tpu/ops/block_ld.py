@@ -1,0 +1,304 @@
+"""Block-banded dense-tile LD representation — the TPU-native LD format.
+
+The reference stores LD as banded CSR-like arrays ``{ld_data, ld_indptr,
+ld_left_bound}`` (viprs/model/VIPRS.py:147-207, magenpy LDMatrix). On TPU, LD lives
+as dense (B x B) tiles so that the CAVI rank-updates become MXU matmuls:
+
+- ``diag[b]``   = R[bB:(b+1)B, bB:(b+1)B]                (NB, B, B)
+- ``off[k][b]`` = R[bB:(b+1)B, (b+k+1)B:(b+k+2)B]        (n_bands, NB, B, B)
+
+R is symmetric, so sub-diagonal blocks are transposes of ``off``. int8 storage with a
+global dequantization ``scale`` reproduces the reference's int8 quantized stores with
+dequantize-on-the-fly (``dq_scale``, e_step.hpp / VIPRS.py:201-207).
+
+``n_bands = 0`` represents block-diagonal LD (LDetect blocks) exactly — the
+production default. Banded LD with bandwidth W is exact when ``n_bands >= ceil(W/B)``.
+"""
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+INT8_SCALE = 1.0 / 127.0
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=['diag', 'off', 'mask'],
+         meta_fields=['scale'])
+@dataclasses.dataclass(frozen=True)
+class BlockLD:
+    """Device-side block-banded LD operator.
+
+    :ivar diag: (NB, B, B) diagonal blocks (int8 or float).
+    :ivar off: (n_bands, NB, B, B) super-diagonal coupling blocks. For
+        ``n_bands == 0`` this is a (0, NB, B, B)-shaped placeholder.
+    :ivar mask: (NB, B) float32 — 1.0 for real variant lanes, 0.0 for padding.
+    :ivar scale: static python float — dequantization multiplier applied to both
+        diag and off when accumulating (1.0 for float storage).
+    """
+    diag: jnp.ndarray
+    off: jnp.ndarray
+    mask: jnp.ndarray
+    scale: float
+
+    @property
+    def nb(self) -> int:
+        return self.diag.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.diag.shape[1]
+
+    @property
+    def n_bands(self) -> int:
+        return self.off.shape[0]
+
+    @property
+    def m_padded(self) -> int:
+        return self.nb * self.block_size
+
+    def astype_storage(self, dtype):
+        """Cast the LD storage (e.g. to float32 for small problems)."""
+        if dtype == self.diag.dtype:
+            return self
+        if jnp.issubdtype(dtype, jnp.integer):
+            raise ValueError("Re-quantization not supported here; build from source data.")
+        new_scale = 1.0
+        diag = (self.diag.astype(dtype) * self.scale).astype(dtype)
+        off = (self.off.astype(dtype) * self.scale).astype(dtype)
+        return BlockLD(diag=diag, off=off, mask=self.mask, scale=new_scale)
+
+
+@dataclasses.dataclass
+class BlockLayout:
+    """Host-side map between the original (per-chromosome) variant order and the
+    padded flat block order.
+
+    :ivar chromosomes: ordered chromosome labels.
+    :ivar chrom_sizes: number of real variants per chromosome.
+    :ivar chrom_block_range: per chromosome, (first_block, last_block_exclusive).
+    :ivar flat_index: (M,) int — for each real variant (in chromosome-sorted
+        order), its index in the padded flat space of size NB*B.
+    """
+    chromosomes: list
+    chrom_sizes: list
+    chrom_block_range: list
+    flat_index: np.ndarray
+    block_size: int
+    nb: int
+
+    @property
+    def m(self) -> int:
+        return int(sum(self.chrom_sizes))
+
+    @property
+    def m_padded(self) -> int:
+        return self.nb * self.block_size
+
+    def to_flat(self, per_chrom: dict, fill=0.0, dtype=np.float32, trailing_shape=()):
+        """Scatter chromosome-keyed arrays into one padded flat array."""
+        out = np.full((self.m_padded,) + tuple(trailing_shape), fill, dtype=dtype)
+        vals = np.concatenate([np.asarray(per_chrom[c]) for c in self.chromosomes], axis=0)
+        out[self.flat_index] = vals
+        return out
+
+    def from_flat(self, flat: np.ndarray) -> dict:
+        """Gather a padded flat array back into chromosome-keyed arrays."""
+        flat = np.asarray(flat)
+        vals = flat[self.flat_index]
+        out = {}
+        start = 0
+        for c, sz in zip(self.chromosomes, self.chrom_sizes):
+            out[c] = vals[start:start + sz]
+            start += sz
+        return out
+
+    def mask(self) -> np.ndarray:
+        m = np.zeros(self.m_padded, dtype=np.float32)
+        m[self.flat_index] = 1.0
+        return m.reshape(self.nb, self.block_size)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def quantize_int8(x: np.ndarray) -> np.ndarray:
+    """Symmetric int8 quantization of correlations in [-1, 1] (scale 1/127)."""
+    return np.clip(np.rint(x * 127.0), -127, 127).astype(np.int8)
+
+
+def pack_dense_blocks(chrom_blocks: dict,
+                      block_size: int = 1024,
+                      dtype=np.float32,
+                      quantize: bool = False):
+    """Pack per-chromosome lists of dense LD blocks (LDetect-style block-diagonal
+    LD) into a :class:`BlockLD` + :class:`BlockLayout`.
+
+    Each LD block starts at a fresh B-boundary (padding lanes in between), so a
+    block of size m_i spans ``ceil(m_i/B)`` tiles and requires
+    ``n_bands = max_i ceil(m_i/B) - 1`` coupling bands.
+
+    :param chrom_blocks: {chrom: [dense (m_i, m_i) numpy arrays]}
+    """
+    B = block_size
+    chroms = sorted(chrom_blocks.keys())
+
+    # ---- compute layout ----
+    n_bands = 0
+    chrom_sizes, chrom_block_range, flat_idx_parts = [], [], []
+    tile_cursor = 0
+    # record (tile_start, block_matrix) placements
+    placements = []
+    for c in chroms:
+        c_first_tile = tile_cursor
+        c_size = 0
+        for blk in chrom_blocks[c]:
+            m_i = blk.shape[0]
+            assert blk.shape == (m_i, m_i)
+            ntiles = _round_up(m_i, B) // B
+            n_bands = max(n_bands, ntiles - 1)
+            base = tile_cursor * B
+            flat_idx_parts.append(np.arange(base, base + m_i, dtype=np.int64))
+            placements.append((tile_cursor, blk))
+            tile_cursor += ntiles
+            c_size += m_i
+        chrom_sizes.append(c_size)
+        chrom_block_range.append((c_first_tile, tile_cursor))
+
+    nb = tile_cursor
+    layout = BlockLayout(chromosomes=chroms,
+                         chrom_sizes=chrom_sizes,
+                         chrom_block_range=chrom_block_range,
+                         flat_index=np.concatenate(flat_idx_parts) if flat_idx_parts
+                         else np.zeros(0, np.int64),
+                         block_size=B, nb=nb)
+
+    # ---- fill tiles ----
+    store_dtype = np.int8 if quantize else dtype
+    diag = np.zeros((nb, B, B), dtype=store_dtype)
+    off = np.zeros((max(n_bands, 0), nb, B, B), dtype=store_dtype)
+
+    for tile_start, blk in placements:
+        m_i = blk.shape[0]
+        src = quantize_int8(blk) if quantize else blk.astype(dtype)
+        ntiles = _round_up(m_i, B) // B
+        for ti in range(ntiles):
+            r0, r1 = ti * B, min((ti + 1) * B, m_i)
+            diag[tile_start + ti, :r1 - r0, :r1 - r0] = src[r0:r1, r0:r1]
+            for k in range(ti + 1, ntiles):
+                c0, c1 = k * B, min((k + 1) * B, m_i)
+                off[k - ti - 1, tile_start + ti, :r1 - r0, :c1 - c0] = src[r0:r1, c0:c1]
+
+    scale = INT8_SCALE if quantize else 1.0
+    ld = BlockLD(diag=jnp.asarray(diag),
+                 off=jnp.asarray(off),
+                 mask=jnp.asarray(layout.mask()),
+                 scale=scale)
+    return ld, layout
+
+
+def pack_banded(chrom_banded: dict,
+                block_size: int = 1024,
+                dtype=np.float32,
+                quantize: bool = False,
+                n_bands: Optional[int] = None):
+    """Pack per-chromosome *banded* LD (the reference's on-disk layout:
+    ``{data, indptr, left_bound}`` with symmetric rows, VIPRS.py:167-172) into
+    block-banded tiles. Exact when the bandwidth fits in ``n_bands`` blocks.
+
+    :param chrom_banded: {chrom: (data, indptr, left_bound)} where row j of R holds
+        ``data[indptr[j]:indptr[j+1]]`` starting at column ``left_bound[j]``.
+        ``data`` may be int8 (values scaled by 127) or float.
+    """
+    B = block_size
+    chroms = sorted(chrom_banded.keys())
+
+    chrom_sizes, chrom_block_range, flat_idx_parts = [], [], []
+    tile_cursor = 0
+    max_bw = 0
+    for c in chroms:
+        data, indptr, left = chrom_banded[c]
+        m_c = len(indptr) - 1
+        widths_r = (np.asarray(indptr[1:]) - np.asarray(indptr[:-1]))
+        # bandwidth to the right of the diagonal and to the left:
+        j = np.arange(m_c)
+        right = (np.asarray(left) + widths_r - 1) - j
+        left_bw = j - np.asarray(left)
+        if m_c:
+            max_bw = max(max_bw, int(right.max(initial=0)), int(left_bw.max(initial=0)))
+        ntiles = _round_up(max(m_c, 1), B) // B
+        base = tile_cursor * B
+        flat_idx_parts.append(np.arange(base, base + m_c, dtype=np.int64))
+        chrom_sizes.append(m_c)
+        chrom_block_range.append((tile_cursor, tile_cursor + ntiles))
+        tile_cursor += ntiles
+
+    nb = tile_cursor
+    if n_bands is None:
+        n_bands = (max_bw + B - 1) // B
+    layout = BlockLayout(chromosomes=chroms, chrom_sizes=chrom_sizes,
+                         chrom_block_range=chrom_block_range,
+                         flat_index=np.concatenate(flat_idx_parts) if flat_idx_parts
+                         else np.zeros(0, np.int64),
+                         block_size=B, nb=nb)
+
+    store_dtype = np.int8 if quantize else dtype
+    diag = np.zeros((nb, B, B), dtype=store_dtype)
+    off = np.zeros((n_bands, nb, B, B), dtype=store_dtype)
+
+    for (c, (t0, t1)) in zip(chroms, chrom_block_range):
+        data, indptr, left = chrom_banded[c]
+        data = np.asarray(data)
+        input_is_int8 = data.dtype == np.int8
+        m_c = len(indptr) - 1
+        for j in range(m_c):
+            row = data[indptr[j]:indptr[j + 1]]
+            if input_is_int8 and not quantize:
+                row = row.astype(dtype) * INT8_SCALE
+            elif not input_is_int8 and quantize:
+                row = quantize_int8(row.astype(np.float64))
+            cols = np.arange(left[j], left[j] + len(row))
+            # keep only upper triangle incl. diagonal; symmetry fills the rest
+            sel = cols >= j
+            cols, row = cols[sel], row[sel]
+            gj = t0 * B + j
+            gcols = t0 * B + cols
+            bj, oj = divmod(gj, B)
+            bc = gcols // B
+            oc = gcols - bc * B
+            same = bc == bj
+            diag[bj, oj, oc[same]] = row[same]
+            diag[bj, oc[same], oj] = row[same]  # symmetric within tile
+            for k in range(1, n_bands + 1):
+                selk = bc == bj + k
+                if selk.any():
+                    off[k - 1, bj, oj, oc[selk]] = row[selk]
+
+    scale = INT8_SCALE if quantize else 1.0
+
+    ld = BlockLD(diag=jnp.asarray(diag), off=jnp.asarray(off),
+                 mask=jnp.asarray(layout.mask()), scale=scale)
+    return ld, layout
+
+
+def blockld_to_dense(ld: BlockLD) -> np.ndarray:
+    """Reconstruct the full dense (padded) LD matrix — for tests only."""
+    nb, B = ld.nb, ld.block_size
+    M = nb * B
+    R = np.zeros((M, M), dtype=np.float64)
+    diag = np.asarray(ld.diag, dtype=np.float64) * ld.scale
+    off = np.asarray(ld.off, dtype=np.float64) * ld.scale
+    for b in range(nb):
+        R[b * B:(b + 1) * B, b * B:(b + 1) * B] = diag[b]
+        for k in range(ld.n_bands):
+            b2 = b + k + 1
+            if b2 < nb:
+                R[b * B:(b + 1) * B, b2 * B:(b2 + 1) * B] = off[k, b]
+                R[b2 * B:(b2 + 1) * B, b * B:(b + 1) * B] = off[k, b].T
+    return R

@@ -1,0 +1,230 @@
+"""Blocked CAVI e-step sweep — XLA implementation.
+
+TPU-native re-design of the reference's sequential coordinate-ascent kernel
+(``e_step`` in viprs/model/vi/e_step.hpp:343-442 and ``e_step_grid``
+at :555-647):
+
+- tiles of T=128 coordinates update *jointly* (Jacobi within tile) from the
+  current residual ``q``;
+- tiles within a block update *sequentially* (Gauss-Seidel), with the rank-T
+  q-update expressed as an (S,T)@(T,B) MXU matmul, where S is the model/grid
+  axis (the reference's (M, n_models) matrices become a leading batch axis);
+- blocks update in parallel (exact for block-diagonal LD; one-sweep-stale at
+  block boundaries for banded LD — a deterministic, *stronger* synchronization
+  than the reference's racy OpenMP mode, VIPRS.py:1056-1061);
+- cross-block coupling (n_bands > 0) is refreshed once per sweep with batched
+  matmuls over the coupling blocks (the analog of ``update_q_factor``'s second
+  pass, e_step.hpp:435-441).
+
+State layout: all per-variant state is (S, NB, B) float32 — B (a multiple of
+128) rides the TPU lane dimension; S is the model-grid batch axis.
+
+The per-variant update equations (Zabad et al. 2023 AJHG, as implemented at
+VIPRS.py:381-424):
+
+    var_tau_j = n_j (1 + lambda_min) / sigma_eps + tau_beta
+    mu_j      = n_j / (var_tau_j sigma_eps) * (std_beta_j - q_j)
+    u_j       = logit(pi) + (log tau_beta - log var_tau_j)/2 + var_tau_j mu_j^2 / 2
+    gamma_j   = sigmoid(u_j)
+    d_eta_j   = gamma_j mu_j - eta_j   (zeroed below machine-precision threshold)
+    q        += (R - I)[:, j] d_eta_j ;  eta_j += d_eta_j
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .block_ld import BlockLD
+
+F32 = jnp.float32
+# The reference zeroes updates below max(machine eps, 1e-8) (e_step.hpp:382).
+ETA_DIFF_EPS = 1e-8
+
+
+class CaviState(NamedTuple):
+    """Per-variant variational state, all (S, NB, B) float32.
+
+    ``logits`` are the Bernoulli logits of gamma (gamma = sigmoid(logits)); we
+    carry logits rather than gamma so entropy/ELBO terms can be computed in a
+    numerically stable way (log gamma = -softplus(-u) exactly).
+    """
+    logits: jnp.ndarray
+    mu: jnp.ndarray
+    eta: jnp.ndarray
+    q: jnp.ndarray
+
+    @property
+    def gamma(self):
+        return jax.nn.sigmoid(self.logits)
+
+
+class Hyper(NamedTuple):
+    """Per-model hyperparameters, all (S,) float32 on kernel entry."""
+    sigma_eps: jnp.ndarray
+    tau_beta: jnp.ndarray
+    pi: jnp.ndarray
+    lambda_min: jnp.ndarray
+
+
+def _dequant_matmul(d_t, rows, scale):
+    """(S,T) @ (T,B) with on-the-fly dequantization of the LD tile."""
+    out = jnp.dot(d_t, rows.astype(F32), preferred_element_type=F32)
+    if scale != 1.0:
+        out = out * F32(scale)
+    return out
+
+
+def _shift_fwd(x, j):
+    """out[b] = x[b + j] along the block axis (axis 1 of (S, NB, B)); zero-pad."""
+    pad = jnp.zeros_like(x[:, :j])
+    return jnp.concatenate([x[:, j:], pad], axis=1)
+
+
+def _shift_bwd(x, j):
+    """out[b] = x[b - j] along the block axis; zero-pad."""
+    pad = jnp.zeros_like(x[:, :j])
+    return jnp.concatenate([pad, x[:, :-j]], axis=1)
+
+
+def _off_contrib(ld: BlockLD, v):
+    """Cross-block contribution sum_k (U_k @ v_{b+k+1} + U_k[b-k-1]^T @ v_{b-k-1}).
+
+    v: (S, NB, B). Returns (S, NB, B).
+    """
+    out = jnp.zeros_like(v)
+    for k in range(ld.n_bands):
+        U = ld.off[k].astype(F32)  # (NB, B, B)
+        # rows b <- columns of block b+k+1
+        out = out + jnp.einsum('bij,sbj->sbi', U, _shift_fwd(v, k + 1),
+                               preferred_element_type=F32)
+        # rows b <- block b-k-1 via U^T
+        t = jnp.einsum('bji,sbj->sbi', U, v, preferred_element_type=F32)
+        out = out + _shift_bwd(t, k + 1)
+    if ld.scale != 1.0:
+        out = out * F32(ld.scale)
+    return out
+
+
+def compute_q(ld: BlockLD, eta):
+    """q = (R - I) @ eta, fresh from scratch (used at warm starts / validation).
+
+    eta: (S, NB, B) -> q: (S, NB, B).
+    """
+    diag_f = ld.diag.astype(F32)
+    q = jnp.einsum('bij,sbj->sbi', diag_f, eta, preferred_element_type=F32)
+    if ld.scale != 1.0:
+        q = q * F32(ld.scale)
+    q = q - eta  # remove the unit diagonal
+    if ld.n_bands > 0:
+        q = q + _off_contrib(ld, eta)
+    return q
+
+
+def refresh_q(ld: BlockLD, q, eta_diff):
+    """Apply the cross-block (banded) part of the q update for this sweep's
+    total eta change. The in-block part was applied incrementally in the tile
+    loop. No-op for block-diagonal LD."""
+    if ld.n_bands == 0:
+        return q
+    return q + _off_contrib(ld, eta_diff)
+
+
+def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
+                     hyper: Hyper, active, scale, tile, damping, n_tiles):
+    """Gauss-Seidel over tiles within one LD block.
+
+    D_b: (B, B) storage dtype; beta_b, n_b, mask_b: (B,);
+    logits_b, mu_b, eta_b, q_b: (S, B); active: (S,) f32; damping: scalar f32.
+    """
+    S = q_b.shape[0]
+    sig_e = hyper.sigma_eps[:, None]          # (S,1)
+    tau_b = hyper.tau_beta[:, None]
+    lam = hyper.lambda_min[:, None]
+    # logit(pi) + 0.5*log(tau_beta); pi guarded away from {0,1} by the caller.
+    pi_ = hyper.pi[:, None]
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    def body(t, carry):
+        logits_b, mu_b, eta_b, q_b = carry
+        idx = t * tile
+
+        q_t = lax.dynamic_slice(q_b, (0, idx), (S, tile))
+        eta_t = lax.dynamic_slice(eta_b, (0, idx), (S, tile))
+        n_t = lax.dynamic_slice(n_b, (idx,), (tile,))[None, :]
+        beta_t = lax.dynamic_slice(beta_b, (idx,), (tile,))[None, :]
+        mask_t = lax.dynamic_slice(mask_b, (idx,), (tile,))[None, :]
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+        mu_new = mu_mult_t * (beta_t - q_t)
+        u_new = base_logit - 0.5 * jnp.log(var_tau_t) + 0.5 * var_tau_t * mu_new * mu_new
+
+        g_new = jax.nn.sigmoid(u_new)
+        d_t = (g_new * mu_new - eta_t) * mask_t * active[:, None] * damping
+        keep = jnp.abs(d_t) >= ETA_DIFF_EPS
+        d_t = jnp.where(keep, d_t, 0.0)
+
+        logits_t = lax.dynamic_slice(logits_b, (0, idx), (S, tile))
+        mu_t = lax.dynamic_slice(mu_b, (0, idx), (S, tile))
+        logits_b = lax.dynamic_update_slice(
+            logits_b, jnp.where(keep, u_new, logits_t), (0, idx))
+        mu_b = lax.dynamic_update_slice(
+            mu_b, jnp.where(keep, mu_new, mu_t), (0, idx))
+        eta_b = lax.dynamic_update_slice(eta_b, eta_t + d_t, (0, idx))
+
+        # Rank-T q update over the whole block: q_b += d_t @ R[tile_rows, :].
+        # (R symmetric: row-slice == column-slice transposed.)
+        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
+        q_b = q_b + _dequant_matmul(d_t, D_rows, scale)
+        # The stored diagonal R_jj = 1 also updated q at the focal variants;
+        # q excludes the diagonal, so correct it (cf. e_step.hpp:423-428).
+        q_tt = lax.dynamic_slice(q_b, (0, idx), (S, tile))
+        q_b = lax.dynamic_update_slice(q_b, q_tt - d_t, (0, idx))
+
+        return logits_b, mu_b, eta_b, q_b
+
+    return lax.fori_loop(0, n_tiles, body, (logits_b, mu_b, eta_b, q_b))
+
+
+@partial(jax.jit, static_argnames=('tile',))
+def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
+               hyper: Hyper, active, damping=1.0, tile: int = 128):
+    """One full CAVI e-step sweep over all blocks and models.
+
+    :param ld: BlockLD operator.
+    :param state: CaviState with (S, NB, B) arrays.
+    :param std_beta: (NB, B) standardized marginal betas (flat-packed).
+    :param n_per_snp: (NB, B) per-variant GWAS sample sizes.
+    :param hyper: per-model hyperparameters, (S,) float32 each.
+    :param active: (S,) float32 — 1.0 for models still being optimized
+        (the vmapped analog of ``active_model_idx``, e_step.hpp:606-634).
+    :param damping: scalar step damping (1.0 = undamped; the deterministic
+        analog of the reference's oscillation-triggered thread backoff).
+    :returns: (new_state, eta_diff) where eta_diff = eta_new - eta_old.
+    """
+    B = ld.block_size
+    assert B % tile == 0
+    n_tiles = B // tile
+    eta0 = state.eta
+
+    damping = F32(damping)
+    active = active.astype(F32)
+
+    def per_block(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b):
+        return _block_tile_loop(D_b, beta_b, n_b, mask_b,
+                                logits_b, mu_b, eta_b, q_b,
+                                hyper, active, ld.scale, tile, damping, n_tiles)
+
+    logits, mu, eta, q = jax.vmap(
+        per_block,
+        in_axes=(0, 0, 0, 0, 1, 1, 1, 1),
+        out_axes=(1, 1, 1, 1),
+    )(ld.diag, std_beta, n_per_snp, ld.mask, state.logits, state.mu, state.eta, state.q)
+
+    eta_diff = eta - eta0
+    q = refresh_q(ld, q, eta_diff)
+
+    return CaviState(logits=logits, mu=mu, eta=eta, q=q), eta_diff

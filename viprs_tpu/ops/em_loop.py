@@ -1,0 +1,217 @@
+"""Fused on-device variational EM loop.
+
+One ``lax.while_loop`` runs [e-step sweep -> M-step -> ELBO -> convergence
+ladder] for all S models simultaneously, mirroring the reference's host loop
+(VIPRS.py:909-1124) but vectorized over the model axis and compiled once:
+
+- per-model status codes (utils/optimize.py) replace OptimizeResult messages;
+- per-model patience counters implement the sigma_g-stability and
+  ELBO-divergence checks (VIPRS.py:1002-1016, 1083-1094);
+- the oscillation counter (OptimizeResult.py:121-150) triggers *damping
+  escalation* on-device — the deterministic analog of the reference's
+  "reduce thread count for better parameter synchronization" (VIPRS.py:1056-1061);
+- pathological states (negative MSE, non-finite ELBO, negative sigma_eps,
+  heritability out of [0,1]) stop the affected model with an error status;
+  the host wrapper (model/viprs.py) handles the restart-with-fixed-sigma_eps
+  behavior of the reference (VIPRS.py:1025-1038).
+
+Everything the host needs afterwards (statuses, iteration counts, ELBO history)
+comes back in one device->host transfer.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import updates
+from .cavi_jax import CaviState, Hyper, cavi_sweep
+from .block_ld import BlockLD
+from ..utils import optimize as opt
+
+F32 = jnp.float32
+F64 = jnp.float64
+I32 = jnp.int32
+
+
+class EMCarry(NamedTuple):
+    state: CaviState
+    hyper: Hyper                 # (S,) float64 each
+    sigma_g: jnp.ndarray         # (S,) f64
+    i: jnp.ndarray               # scalar i32 — global iteration (1-based inside loop)
+    active: jnp.ndarray          # (S,) bool
+    status: jnp.ndarray          # (S,) i32
+    nit: jnp.ndarray             # (S,) i32 — iterations each model actually ran
+    prev_elbo: jnp.ndarray       # (S,) f64
+    prev_dropped: jnp.ndarray    # (S,) bool — ELBO dropped last iteration
+    osc_counter: jnp.ndarray     # (S,) i32
+    sigma_g_counter: jnp.ndarray  # (S,) i32
+    div_counter: jnp.ndarray     # (S,) i32
+    damping: jnp.ndarray         # (S,) f32
+    elbo_hist: jnp.ndarray       # (max_iter+1, S) f64
+    max_eta_diff: jnp.ndarray    # (S,) f32
+
+
+class EMResult(NamedTuple):
+    state: CaviState
+    hyper: Hyper
+    sigma_g: jnp.ndarray
+    status: jnp.ndarray
+    nit: jnp.ndarray
+    elbo_hist: jnp.ndarray
+    n_iter_total: jnp.ndarray
+    final_elbo: jnp.ndarray
+    final_mse: jnp.ndarray
+
+
+def _hyper_f32(h: Hyper) -> Hyper:
+    return Hyper(*(x.astype(F32) for x in h))
+
+
+@partial(jax.jit, static_argnames=(
+    'tile', 'max_iter', 'min_iter'))
+def em_fit(ld: BlockLD,
+           state0: CaviState,
+           std_beta, n_per_snp,
+           hyper0: Hyper,
+           fix: updates.FixMask,
+           n_sample,
+           m_total,
+           init_elbo,
+           active0,
+           max_iter: int = 1000,
+           min_iter: int = 3,
+           f_abs_tol: float = 1e-6,
+           x_abs_tol: float = 1e-6,
+           patience: int = 10,
+           tile: int = 128):
+    """Run the fused EM loop until every model terminates (or max_iter).
+
+    :param init_elbo: (S,) f64 — ELBO of the initial state (history slot 0;
+        reference appends the initial objective before iterating, VIPRS.py:942).
+    :param active0: (S,) bool — models to optimize (False lanes stay frozen).
+    :returns: EMResult.
+    """
+    S = hyper0.sigma_eps.shape[0]
+    mask = ld.mask
+
+    elbo_hist = jnp.full((max_iter + 1, S), jnp.nan, dtype=F64)
+    elbo_hist = elbo_hist.at[0].set(init_elbo)
+
+    carry = EMCarry(
+        state=state0,
+        hyper=Hyper(*(x.astype(F64) for x in hyper0)),
+        sigma_g=jnp.zeros(S, F64),
+        i=jnp.asarray(0, I32),
+        active=active0.astype(bool),
+        status=jnp.full(S, opt.RUNNING, I32),
+        nit=jnp.zeros(S, I32),
+        prev_elbo=init_elbo.astype(F64),
+        prev_dropped=jnp.zeros(S, bool),
+        osc_counter=jnp.zeros(S, I32),
+        sigma_g_counter=jnp.zeros(S, I32),
+        div_counter=jnp.zeros(S, I32),
+        damping=jnp.ones(S, F32),
+        elbo_hist=elbo_hist,
+        max_eta_diff=jnp.zeros(S, F32),
+    )
+
+    def cond(c: EMCarry):
+        return (c.i < max_iter) & jnp.any(c.active)
+
+    def body(c: EMCarry):
+        i = c.i + 1
+        h32 = _hyper_f32(c.hyper)
+        act_f = c.active.astype(F32) * c.damping
+
+        # ---- E-step ----
+        state, eta_diff = cavi_sweep(ld, c.state, std_beta, n_per_snp,
+                                     h32, act_f, damping=1.0, tile=tile)
+
+        # ---- reductions with e-step hyperparameters ----
+        var_tau = updates.compute_var_tau(n_per_snp, h32)
+        stats = updates.collect_stats(state, var_tau, std_beta, mask)
+
+        # ---- M-step ----
+        hyper, sigma_g = updates.m_step(stats, c.hyper, fix, m_total, c.active)
+        sigma_g = jnp.where(c.active, sigma_g, c.sigma_g)
+
+        # ---- objectives ----
+        curr_elbo = updates.elbo(stats, hyper, fix.sigma_eps, sigma_g,
+                                 n_sample, m_total)
+        curr_elbo = jnp.where(c.active, curr_elbo, c.prev_elbo)
+        curr_mse = updates.mse(stats, sigma_g)
+        h2 = updates.heritability(sigma_g, hyper.sigma_eps)
+
+        max_ed = jnp.max(jnp.abs(eta_diff) * mask[None], axis=(1, 2))  # (S,) f32
+        max_ed = jnp.where(c.active, max_ed, c.max_eta_diff)
+
+        # ---- patience counters (VIPRS.py:1002-1016) ----
+        sigg_cond = ((i > min_iter)
+                     & (jnp.abs(sigma_g - c.sigma_g) <= x_abs_tol)
+                     & (max_ed < x_abs_tol * 10.0))
+        sigma_g_counter = jnp.where(sigg_cond, c.sigma_g_counter + 1, 0)
+
+        dropped = curr_elbo < c.prev_elbo
+        div_cond = dropped & ~(jnp.abs(curr_elbo - c.prev_elbo)
+                               <= 1e3 * f_abs_tol + 1e-4 * jnp.abs(c.prev_elbo))
+        div_counter = jnp.where(div_cond, c.div_counter + 1, 0)
+
+        # Oscillation: consecutive-iteration objective drops.
+        osc = jnp.where(dropped & c.prev_dropped, c.osc_counter + 1,
+                        jnp.where(dropped, c.osc_counter, 0))
+        # Damping escalation replaces thread-count reduction (VIPRS.py:1056-1061):
+        escalate = c.active & (osc > 5) & (c.damping > 0.1)
+        damping = jnp.where(escalate, c.damping * F32(0.7), c.damping)
+        osc = jnp.where(escalate, 0, osc)
+
+        # ---- the ladder (ordered elif chain, VIPRS.py:1022-1097) ----
+        status = jnp.full(S, opt.RUNNING, I32)
+
+        def set_status(status, cond_, code):
+            return jnp.where((status == opt.RUNNING) & cond_, code, status)
+
+        status = set_status(status, curr_mse < 0.0, opt.MSE_NEGATIVE)
+        status = set_status(status, ~jnp.isfinite(curr_elbo), opt.ELBO_NONFINITE)
+        status = set_status(status, hyper.sigma_eps < 0.0, opt.SIGMA_EPS_NEGATIVE)
+        status = set_status(status, (h2 > 1.0) | (h2 < 0.0), opt.H2_OUT_OF_BOUNDS)
+        status = set_status(
+            status, (i > min_iter) & (jnp.abs(curr_elbo - c.prev_elbo) <= f_abs_tol),
+            opt.CONVERGED_F)
+        status = set_status(status, (i > min_iter) & (max_ed < x_abs_tol),
+                            opt.CONVERGED_X)
+        status = set_status(status, sigma_g_counter > patience, opt.CONVERGED_SIGMA_G)
+        status = set_status(status, div_counter > patience, opt.DIVERGED_ELBO)
+
+        newly_done = c.active & (status != opt.RUNNING)
+        status = jnp.where(newly_done, status, c.status)
+        active = c.active & ~newly_done
+        nit = jnp.where(c.active, i, c.nit)
+
+        hist = lax.dynamic_update_slice(c.elbo_hist, curr_elbo[None, :],
+                                        (i, jnp.asarray(0, I32)))
+
+        return EMCarry(state=state, hyper=hyper, sigma_g=sigma_g, i=i,
+                       active=active, status=status, nit=nit,
+                       prev_elbo=curr_elbo, prev_dropped=dropped,
+                       osc_counter=osc, sigma_g_counter=sigma_g_counter,
+                       div_counter=div_counter, damping=damping,
+                       elbo_hist=hist, max_eta_diff=max_ed)
+
+    c = lax.while_loop(cond, body, carry)
+
+    # Models still active after max_iter:
+    status = jnp.where(c.active, opt.MAX_ITER, c.status)
+
+    # Final diagnostics with the terminal hyperparameters:
+    h32 = _hyper_f32(c.hyper)
+    var_tau = updates.compute_var_tau(n_per_snp, h32)
+    stats = updates.collect_stats(c.state, var_tau, std_beta, mask)
+    final_mse = updates.mse(stats, c.sigma_g)
+
+    return EMResult(state=c.state, hyper=c.hyper, sigma_g=c.sigma_g,
+                    status=status, nit=c.nit, elbo_hist=c.elbo_hist,
+                    n_iter_total=c.i, final_elbo=c.prev_elbo,
+                    final_mse=final_mse)
