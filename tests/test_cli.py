@@ -1,0 +1,141 @@
+"""End-to-end CLI pipeline test (the analog of the reference's tests/test_cli.sh):
+simulate genotypes -> GWAS -> LD store -> viprs_fit (EM + GS) -> viprs_score ->
+viprs_evaluate; assert output artifacts exist and are well-formed."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=None):
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=REPO)
+    res = subprocess.run([sys.executable] + args, capture_output=True, text=True,
+                         cwd=cwd or REPO, env=env, timeout=900)
+    assert res.returncode == 0, f"command failed:\n{res.stdout}\n{res.stderr}"
+    return res
+
+
+@pytest.fixture(scope='module')
+def pipeline_data(tmp_path_factory):
+    """Simulated BED + sumstats + LD store on disk."""
+    sys.path.insert(0, os.path.join(REPO, 'tests'))
+    from plink_utils import write_plink_bed
+    from viprs_tpu.data.genotype import GenotypeMatrix
+    from viprs_tpu.data.loader import GWADataLoader
+    from viprs_tpu.data import ld_store
+
+    tmp = tmp_path_factory.mktemp('cli')
+    rng = np.random.default_rng(42)
+    n, m = 500, 200
+    maf = rng.uniform(0.1, 0.5, m)
+    dosages = rng.binomial(2, maf, size=(n, m)).astype(np.float64)
+    alleles = rng.choice(['A', 'C'], size=m)
+    bim = pd.DataFrame({'CHR': 21, 'SNP': [f'rs{i}' for i in range(m)],
+                        'CM': 0.0, 'POS': np.arange(1, m + 1) * 1000,
+                        'A1': alleles, 'A2': np.where(alleles == 'A', 'G', 'T')})
+    beta = np.zeros(m)
+    causal = rng.random(m) < 0.1
+    beta[causal] = rng.standard_normal(causal.sum()) * 0.25
+    x_std = (dosages - dosages.mean(0)) / np.maximum(dosages.std(0), 1e-9)
+    y = x_std @ beta + rng.standard_normal(n)
+    fam = pd.DataFrame({'FID': [f'F{i}' for i in range(n)],
+                        'IID': [f'I{i}' for i in range(n)],
+                        'father': 0, 'mother': 0, 'sex': 1, 'PHENO': y})
+    prefix = str(tmp / 'geno')
+    write_plink_bed(prefix, dosages, bim, fam)
+
+    g = GenotypeMatrix(prefix)
+    ss = g.perform_gwas(y)
+    ss_file = str(tmp / 'sumstats.txt')
+    ss.table.to_csv(ss_file, sep="\t", index=False)
+
+    loader = GWADataLoader(bed_files=prefix)
+    loader.compute_ld(estimator='block', max_block_size=64)
+    store = str(tmp / 'ld_store')
+    ld_store.save_ld_store(store, loader.ld_blocks, loader.ld_snp_tables,
+                           quantize=False)
+
+    pheno_file = str(tmp / 'pheno.txt')
+    fam[['FID', 'IID', 'PHENO']].to_csv(pheno_file, sep="\t", header=False,
+                                        index=False)
+    return dict(tmp=tmp, bed=prefix, sumstats=ss_file, store=store,
+                pheno=pheno_file)
+
+
+def test_fit_em_score_evaluate(pipeline_data):
+    tmp = pipeline_data['tmp']
+    out = str(tmp / 'em' / 'output')
+
+    _run(['bin/viprs_fit', '-l', pipeline_data['store'],
+          '-s', pipeline_data['sumstats'],
+          '--output-file', out, '--block-size', '128', '--max-iter', '200',
+          '--seed', '7'])
+    assert os.path.exists(out + '.fit.gz')
+    assert os.path.exists(out + '.hyp')
+    fit_tab = pd.read_csv(out + '.fit.gz', sep="\t")
+    assert {'CHR', 'SNP', 'A1', 'A2', 'BETA', 'PIP'} <= set(fit_tab.columns)
+    assert len(fit_tab) == 200
+
+    prs_out = str(tmp / 'em' / 'prs')
+    _run(['bin/viprs_score', '-f', out + '.fit.gz',
+          '--bed-files', pipeline_data['bed'],
+          '--output-file', prs_out])
+    assert os.path.exists(prs_out + '.prs')
+    prs_tab = pd.read_csv(prs_out + '.prs', sep="\t")
+    assert {'FID', 'IID', 'PRS'} <= set(prs_tab.columns)
+    assert prs_tab['PRS'].std() > 0
+
+    eval_out = str(tmp / 'em' / 'eval')
+    _run(['bin/viprs_evaluate', '--prs-file', prs_out + '.prs',
+          '--phenotype-file', pipeline_data['pheno'],
+          '--output-file', eval_out])
+    assert os.path.exists(eval_out + '.eval')
+    etab = pd.read_csv(eval_out + '.eval', sep="\t")
+    r2_row = etab.loc[etab['Metric'] == 'R2']
+    assert len(r2_row) == 1 and 0 <= float(r2_row['Value'].iloc[0]) <= 1
+
+
+def test_fit_gs_pseudo_validation(pipeline_data):
+    tmp = pipeline_data['tmp']
+    out = str(tmp / 'gs' / 'output')
+    _run(['bin/viprs_fit', '-l', pipeline_data['store'],
+          '-s', pipeline_data['sumstats'],
+          '--output-file', out, '--block-size', '128',
+          '--hyp-search', 'GS', '--pi-steps', '4',
+          '--grid-metric', 'pseudo_validation',
+          '--max-iter', '150', '--seed', '7'])
+    assert os.path.exists(out + '.fit.gz')
+    assert os.path.exists(out + '.validation')
+    vtab = pd.read_csv(out + '.validation', sep="\t")
+    assert len(vtab) == 4 and 'ELBO' in vtab.columns
+
+
+def test_fit_bma(pipeline_data):
+    tmp = pipeline_data['tmp']
+    out = str(tmp / 'bma' / 'output')
+    _run(['bin/viprs_fit', '-l', pipeline_data['store'],
+          '-s', pipeline_data['sumstats'],
+          '--output-file', out, '--block-size', '128',
+          '--hyp-search', 'BMA', '--pi-steps', '4',
+          '--max-iter', '150', '--seed', '7'])
+    fit_tab = pd.read_csv(out + '.fit.gz', sep="\t")
+    assert np.isfinite(fit_tab['BETA']).all()
+
+
+def test_fit_mixture_model(pipeline_data):
+    tmp = pipeline_data['tmp']
+    out = str(tmp / 'mix' / 'output')
+    _run(['bin/viprs_fit', '-l', pipeline_data['store'],
+          '-s', pipeline_data['sumstats'],
+          '--output-file', out, '--block-size', '128',
+          '-m', 'VIPRSMix', '--n-components', '2',
+          '--max-iter', '150', '--seed', '7'])
+    assert os.path.exists(out + '.fit.gz')
+    hyp = pd.read_csv(out + '.hyp', sep="\t")
+    assert any(hyp['Parameter'].str.startswith('pi_'))

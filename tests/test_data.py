@@ -1,0 +1,296 @@
+"""Data-layer tests: parsers, harmonization, genotype IO, LD estimation, loader."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from viprs_tpu.data.sumstats import read_sumstats, SumstatsTable
+from viprs_tpu.data.harmonize import merge_snp_tables
+from viprs_tpu.data.genotype import GenotypeMatrix
+from viprs_tpu.data import ld_estimators, ld_store
+from viprs_tpu.data.loader import GWADataLoader
+from viprs_tpu.data.split import sumstats_train_test_split
+from viprs_tpu.data.dataset import SummaryStatsDataset
+from viprs_tpu.data.simulate import simulate_sumstats_blocks
+
+from plink_utils import write_plink_bed
+
+RNG = np.random.default_rng(77)
+
+
+def _make_bed(tmp_path, n=200, m=150, n_chroms=2, seed=3):
+    rng = np.random.default_rng(seed)
+    maf = rng.uniform(0.1, 0.5, m)
+    dosages = rng.binomial(2, maf, size=(n, m)).astype(np.float64)
+    chroms = np.repeat(np.arange(1, n_chroms + 1), m // n_chroms + 1)[:m]
+    alleles = rng.choice(['A', 'C', 'G', 'T'], size=(m, 2))
+    # avoid A1 == A2:
+    same = alleles[:, 0] == alleles[:, 1]
+    alleles[same, 1] = np.where(alleles[same, 0] == 'A', 'G', 'A')
+    bim = pd.DataFrame({'CHR': chroms, 'SNP': [f'rs{i}' for i in range(m)],
+                        'CM': 0.0, 'POS': np.arange(1, m + 1) * 1000,
+                        'A1': alleles[:, 0], 'A2': alleles[:, 1]})
+    beta = np.zeros(m)
+    causal = rng.random(m) < 0.1
+    beta[causal] = rng.standard_normal(causal.sum()) * 0.3
+    x_std = (dosages - dosages.mean(0)) / np.maximum(dosages.std(0), 1e-9)
+    y = x_std @ beta + rng.standard_normal(n)
+    fam = pd.DataFrame({'FID': [f'F{i}' for i in range(n)],
+                        'IID': [f'I{i}' for i in range(n)],
+                        'father': 0, 'mother': 0, 'sex': 1, 'PHENO': y})
+    prefix = str(tmp_path / 'test_geno')
+    write_plink_bed(prefix, dosages, bim, fam)
+    return prefix, dosages, bim, fam, y
+
+
+class TestSumstatsParsers:
+
+    def _base_df(self, fmt_cols, m=50):
+        rng = np.random.default_rng(0)
+        beta = rng.standard_normal(m) * 0.02
+        se = np.abs(rng.standard_normal(m)) * 0.01 + 0.005
+        data = {
+            'CHR': 1, 'SNP': [f'rs{i}' for i in range(m)],
+            'POS': np.arange(m) * 500, 'A1': 'A', 'A2': 'G',
+            'BETA': beta, 'SE': se, 'N': 10000,
+            'P': np.clip(rng.random(m), 1e-8, 1),
+        }
+        return pd.DataFrame({k: data[v] for k, v in fmt_cols.items()})
+
+    def test_magenpy_format(self, tmp_path):
+        df = self._base_df({'CHR': 'CHR', 'SNP': 'SNP', 'POS': 'POS', 'A1': 'A1',
+                            'A2': 'A2', 'BETA': 'BETA', 'SE': 'SE', 'N': 'N'})
+        f = tmp_path / 'ss.txt'
+        df.to_csv(f, sep="\t", index=False)
+        ss = read_sumstats(str(f), 'magenpy')
+        assert len(ss) == 50
+        np.testing.assert_allclose(ss.z_score, df['BETA'] / df['SE'])
+        r = ss.get_snp_pseudo_corr()
+        assert np.all(np.abs(r) < 1)
+
+    def test_fastgwa_format(self, tmp_path):
+        df = self._base_df({'CHR': 'CHR', 'SNP': 'SNP', 'POS': 'POS', 'A1': 'A1',
+                            'A2': 'A2', 'N': 'N', 'BETA': 'BETA', 'SE': 'SE',
+                            'P': 'P'})
+        df['AF1'] = 0.3
+        f = tmp_path / 'ss.fastGWA'
+        df.to_csv(f, sep="\t", index=False)
+        ss = read_sumstats(str(f), 'fastgwa')
+        assert 'MAF' in ss.table.columns
+
+    def test_cojo_format(self, tmp_path):
+        df = self._base_df({'SNP': 'SNP', 'A1': 'A1', 'A2': 'A2', 'b': 'BETA',
+                            'se': 'SE', 'p': 'P', 'N': 'N'})
+        df['freq'] = 0.25
+        f = tmp_path / 'ss.ma'
+        df.to_csv(f, sep=" ", index=False)
+        ss = read_sumstats(str(f), 'cojo')
+        assert len(ss) == 50
+
+    def test_ssf_format(self, tmp_path):
+        df = self._base_df({
+            'chromosome': 'CHR', 'variant_id': 'SNP', 'base_pair_location': 'POS',
+            'effect_allele': 'A1', 'other_allele': 'A2', 'beta': 'BETA',
+            'standard_error': 'SE', 'p_value': 'P', 'n': 'N'})
+        f = tmp_path / 'ss.tsv'
+        df.to_csv(f, sep="\t", index=False)
+        ss = read_sumstats(str(f), 'gwas-ssf')
+        assert {'CHR', 'SNP', 'A1', 'A2', 'Z'} <= set(ss.table.columns)
+
+    def test_custom_format(self, tmp_path):
+        df = pd.DataFrame({'marker': ['rs1', 'rs2'], 'eff': ['A', 'C'],
+                           'ref': ['G', 'T'], 'zscore': [1.2, -0.5],
+                           'samples': [5000, 5000]})
+        f = tmp_path / 'ss.custom'
+        df.to_csv(f, sep="\t", index=False)
+        ss = read_sumstats(str(f), 'custom',
+                           column_map={'marker': 'SNP', 'eff': 'A1', 'ref': 'A2',
+                                       'zscore': 'Z', 'samples': 'N'})
+        np.testing.assert_allclose(ss.z_score, [1.2, -0.5])
+
+
+class TestHarmonization:
+
+    def test_allele_flip_sign(self):
+        ref = pd.DataFrame({'SNP': ['rs1', 'rs2', 'rs3'],
+                            'A1': ['A', 'C', 'G'], 'A2': ['G', 'T', 'A']})
+        other = pd.DataFrame({'SNP': ['rs1', 'rs2', 'rs3'],
+                              'A1': ['G', 'C', 'G'], 'A2': ['A', 'T', 'A'],
+                              'BETA': [0.5, 0.2, -0.1]})
+        merged = merge_snp_tables(ref, other, signed_statistics=['BETA'])
+        np.testing.assert_allclose(merged['BETA'].values, [-0.5, 0.2, -0.1])
+
+    def test_strand_flip(self):
+        ref = pd.DataFrame({'SNP': ['rs1'], 'A1': ['A'], 'A2': ['G']})
+        # complement alleles (T/C = complements of A/G), same orientation:
+        other = pd.DataFrame({'SNP': ['rs1'], 'A1': ['T'], 'A2': ['C'],
+                              'BETA': [0.3]})
+        merged = merge_snp_tables(ref, other, signed_statistics=['BETA'])
+        np.testing.assert_allclose(merged['BETA'].values, [0.3])
+
+    def test_mismatched_dropped(self):
+        ref = pd.DataFrame({'SNP': ['rs1', 'rs2'], 'A1': ['A', 'C'],
+                            'A2': ['G', 'T']})
+        other = pd.DataFrame({'SNP': ['rs1', 'rs2'], 'A1': ['A', 'A'],
+                              'A2': ['G', 'C'], 'BETA': [0.5, 0.2]})
+        merged = merge_snp_tables(ref, other, how='inner',
+                                  signed_statistics=['BETA'])
+        assert len(merged) == 1 and merged['SNP'].iloc[0] == 'rs1'
+
+
+class TestGenotype:
+
+    def test_bed_roundtrip(self, tmp_path):
+        prefix, dosages, bim, fam, _ = _make_bed(tmp_path)
+        g = GenotypeMatrix(prefix)
+        assert g.shape == dosages.shape
+        got = g.dosages(impute=False)
+        np.testing.assert_array_equal(got, dosages)
+
+    def test_scoring(self, tmp_path):
+        prefix, dosages, bim, fam, _ = _make_bed(tmp_path)
+        g = GenotypeMatrix(prefix)
+        beta = RNG.standard_normal(g.m) * 0.1
+        prs = g.score(beta)
+        x = (dosages - dosages.mean(0)) / np.maximum(dosages.std(0), 1e-12)
+        np.testing.assert_allclose(prs, x @ beta, atol=1e-8)
+
+    def test_gwas(self, tmp_path):
+        prefix, dosages, bim, fam, y = _make_bed(tmp_path)
+        g = GenotypeMatrix(prefix)
+        ss = g.perform_gwas(y)
+        assert len(ss) == g.m
+        # marginal betas equal standardized x'y/n:
+        x = (dosages - dosages.mean(0)) / np.maximum(dosages.std(0), 1e-12)
+        ys = (y - y.mean()) / y.std()
+        np.testing.assert_allclose(ss.marginal_beta, x.T @ ys / g.n, atol=1e-10)
+
+
+class TestLDEstimators:
+
+    def test_block_ld(self, tmp_path):
+        prefix, dosages, *_ = _make_bed(tmp_path)
+        g = GenotypeMatrix(prefix)
+        blocks = ld_estimators.block_ld(g, max_block_size=40)
+        for c, blist in blocks.items():
+            total = sum(b.shape[0] for b in blist)
+            assert total == int((g.bim['CHR'] == c).sum())
+            for b in blist:
+                np.testing.assert_allclose(np.diag(b), 1.0, atol=1e-9)
+
+    def test_windowed_ld(self, tmp_path):
+        prefix, *_ = _make_bed(tmp_path)
+        g = GenotypeMatrix(prefix)
+        blocks = ld_estimators.windowed_ld(g, window_kb=20)
+        assert all(len(b) >= 1 for b in blocks.values())
+
+    def test_shrinkage_ld(self, tmp_path):
+        prefix, *_ = _make_bed(tmp_path)
+        g = GenotypeMatrix(prefix)
+        raw = ld_estimators.block_ld(g, max_block_size=50)
+        shrunk = ld_estimators.shrinkage_ld(g, max_block_size=50)
+        # shrinkage attenuates off-diagonals:
+        for c in raw:
+            for rb, sb in zip(raw[c], shrunk[c]):
+                off = ~np.eye(rb.shape[0], dtype=bool)
+                assert np.all(np.abs(sb[off]) <= np.abs(rb[off]) + 1e-12)
+
+
+class TestLDStore:
+
+    def test_save_load_roundtrip(self, tmp_path):
+        sim = simulate_sumstats_blocks(n=500, block_sizes=(60, 40), seed=1)
+        snp_tables = {22: pd.DataFrame({
+            'CHR': 22, 'SNP': [f'rs{i}' for i in range(sim['m'])],
+            'POS': np.arange(sim['m']), 'A1': 'A', 'A2': 'G'})}
+        path = str(tmp_path / 'ld_store')
+        ld_store.save_ld_store(path, sim['ld_blocks'], snp_tables, quantize=True)
+        blocks, tables = ld_store.load_ld_store(path)
+        assert 22 in blocks and len(blocks[22]) == 2
+        np.testing.assert_allclose(blocks[22][0], sim['ld_blocks'][22][0],
+                                   atol=1.0 / 127)
+        assert tables[22]['SNP'].iloc[0] == 'rs0'
+
+
+class TestLoader:
+
+    def test_end_to_end(self, tmp_path):
+        prefix, dosages, bim, fam, y = _make_bed(tmp_path, n=400, m=120)
+        g = GenotypeMatrix(prefix)
+        ss = g.perform_gwas(y)
+
+        ss_file = tmp_path / 'sumstats.txt'
+        ss.table.to_csv(ss_file, sep="\t", index=False)
+
+        # build + save an LD store from the genotype:
+        loader0 = GWADataLoader(bed_files=prefix)
+        loader0.compute_ld(estimator='block', max_block_size=50)
+        store = str(tmp_path / 'ld')
+        ld_store.save_ld_store(store, loader0.ld_blocks, loader0.ld_snp_tables,
+                               quantize=False)
+
+        # load from files and harmonize:
+        loader = GWADataLoader(ld_store_files=store, sumstats_files=str(ss_file),
+                               sumstats_format='magenpy', block_size=128)
+        assert loader.m == 120
+        ds = loader.to_summary_dataset()
+        assert isinstance(ds, SummaryStatsDataset)
+        assert ds.m == 120
+
+        # fit a model end-to-end on loader-produced data:
+        from viprs_tpu.model import VIPRS
+        np.random.seed(0)
+        m = VIPRS(ds)
+        m.fit(max_iter=100)
+        assert m.optim_result.stop_iteration
+
+    def test_harmonization_drops_and_flips(self, tmp_path):
+        prefix, dosages, bim, fam, y = _make_bed(tmp_path, n=300, m=80)
+        g = GenotypeMatrix(prefix)
+        ss = g.perform_gwas(y)
+        tab = ss.table.copy()
+        # flip alleles + beta sign for some variants; drop a few:
+        flip = np.arange(0, 30)
+        a1 = tab.loc[flip, 'A1'].copy()
+        tab.loc[flip, 'A1'] = tab.loc[flip, 'A2'].values
+        tab.loc[flip, 'A2'] = a1.values
+        tab.loc[flip, 'BETA'] = -tab.loc[flip, 'BETA']
+        tab.loc[flip, 'Z'] = -tab.loc[flip, 'Z']
+        tab = tab.drop(index=range(70, 80))
+        ss_file = tmp_path / 'ss_flip.txt'
+        tab.to_csv(ss_file, sep="\t", index=False)
+
+        loader0 = GWADataLoader(bed_files=prefix)
+        loader0.compute_ld(estimator='block', max_block_size=64)
+        store = str(tmp_path / 'ld2')
+        ld_store.save_ld_store(store, loader0.ld_blocks, loader0.ld_snp_tables,
+                               quantize=False)
+
+        loader = GWADataLoader(ld_store_files=store, sumstats_files=str(ss_file),
+                               block_size=128)
+        assert loader.m == 70  # dropped variants removed
+        # flipped variants recover the original Z sign:
+        ds = loader.to_summary_dataset()
+        orig = ss.get_snp_pseudo_corr()[:70]
+        got = np.concatenate([ds.std_beta[c] for c in ds.chromosomes])
+        np.testing.assert_allclose(got, orig, rtol=1e-6)
+
+
+class TestPUMASSplit:
+
+    def test_split_consistency(self):
+        sim = simulate_sumstats_blocks(n=2000, block_sizes=(100, 80), seed=4)
+        ds = SummaryStatsDataset.from_dense_blocks(
+            sim['ld_blocks'], sim['std_beta'], sim['n_per_snp'], block_size=128)
+        split = sumstats_train_test_split(ds, prop_train=0.8, seed=0)
+        for c in ds.chromosomes:
+            beta = np.asarray(ds.std_beta[c])
+            n = np.asarray(ds.n_per_snp[c])
+            tr, te = split[c]['train_beta'], split[c]['test_beta']
+            # consistency: n*beta = n_t*train + n_v*test
+            recon = 0.8 * tr + 0.2 * te
+            np.testing.assert_allclose(recon, beta, atol=1e-12)
+            # train noise has roughly the right scale:
+            expected_sd = np.sqrt(1.0 / (0.8 * n[0]) - 1.0 / n[0])
+            sd = np.std(tr - beta)
+            assert 0.5 * expected_sd < sd < 2.0 * expected_sd

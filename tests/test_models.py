@@ -1,0 +1,206 @@
+"""Model-layer tests: VIPRS / VIPRSMix / VIPRSGrid / LDPredInf on synthetic data.
+
+Mirrors the reference's test strategy (tests/test_basic.py: shape and hyper-range
+invariants after initialize(), smoke fits, grid/selection/BMA flows) with
+deterministic simulated fixtures instead of downloaded 1000G data.
+"""
+
+import numpy as np
+import pytest
+
+from viprs_tpu.data.dataset import SummaryStatsDataset
+from viprs_tpu.data.simulate import simulate_sumstats_blocks
+from viprs_tpu.model import VIPRS, VIPRSMix, VIPRSGrid, LDPredInf
+from viprs_tpu.gridsearch import (HyperparameterGrid, select_best_model,
+                                  bayesian_model_average)
+
+
+@pytest.fixture(scope='module')
+def sim():
+    return simulate_sumstats_blocks(n=3000, block_sizes=(250, 200), h2=0.35,
+                                    prop_causal=0.04, seed=21)
+
+
+@pytest.fixture(scope='module')
+def dataset(sim):
+    return SummaryStatsDataset.from_dense_blocks(
+        sim['ld_blocks'], sim['std_beta'], sim['n_per_snp'], block_size=256)
+
+
+class TestVIPRS:
+
+    def test_initialize_invariants(self, dataset):
+        np.random.seed(0)
+        m = VIPRS(dataset)
+        m.initialize()
+        assert 0 < m.pi < 1
+        assert 0 < m.sigma_epsilon < 1
+        assert m.tau_beta > 0
+        vg = m.var_gamma
+        for c, sz in m.shapes.items():
+            assert vg[c].shape == (sz,)
+            assert np.all((vg[c] > 0) & (vg[c] < 1))
+            assert np.allclose(m.var_mu[c], 0.0)
+
+    def test_smoke_fit(self, dataset, sim):
+        np.random.seed(1)
+        m = VIPRS(dataset)
+        m.fit(max_iter=300)
+        assert m.optim_result.stop_iteration
+        assert m.optim_result.success, m.optim_result.message
+        # posterior moments populated and h2 recovered in a sane range:
+        assert m.post_mean_beta is not None
+        h2 = m.get_heritability()
+        assert 0.1 < h2 < 0.7
+        # ELBO improves over the run (history[0] is computed with the
+        # reference's fit_term==1 shortcut, which overestimates before the
+        # first sigma_epsilon update — so compare from iteration 1):
+        assert m.history['ELBO'][-1] >= m.history['ELBO'][1]
+        # posterior mean correlates with truth:
+        eta = np.concatenate([m.post_mean_beta[c] for c in m.chromosomes])
+        bt = np.concatenate([sim['beta_true'][c] for c in m.chromosomes])
+        assert np.corrcoef(eta, bt)[0, 1] > 0.4
+
+    def test_tracked_params(self, dataset):
+        np.random.seed(2)
+        m = VIPRS(dataset, tracked_params=['pi', 'sigma_epsilon', 'heritability'])
+        m.fit(max_iter=20)
+        assert len(m.history['pi']) == len(m.history['ELBO'])
+        assert len(m.history['sigma_epsilon']) > 1
+
+    def test_to_table_roundtrip(self, dataset, tmp_path):
+        np.random.seed(3)
+        m = VIPRS(dataset)
+        m.fit(max_iter=50)
+        tab = m.to_table()
+        assert {'CHR', 'SNP', 'A1', 'A2', 'BETA', 'PIP', 'VAR_BETA'} <= set(tab.columns)
+        assert len(tab) == m.m
+
+        out = str(tmp_path / 'test')
+        m.write_inferred_parameters(out)
+        m2 = VIPRS(dataset)
+        m2.read_inferred_parameters(out + '.fit', sep='\t')
+        for c in m.chromosomes:
+            np.testing.assert_allclose(m2.post_mean_beta[c], m.post_mean_beta[c],
+                                       atol=1e-6)
+
+    def test_theta_table(self, dataset):
+        np.random.seed(4)
+        m = VIPRS(dataset)
+        m.fit(max_iter=30)
+        tt = m.to_theta_table()
+        assert 'ELBO' in tt['Parameter'].values
+        ht = m.to_history_table()
+        assert 'ELBO' in ht.columns
+
+    def test_fix_params(self, dataset):
+        np.random.seed(5)
+        m = VIPRS(dataset, fix_params={'pi': 0.03, 'sigma_epsilon': 0.8})
+        m.fit(max_iter=100)
+        assert np.isclose(m.pi, 0.03)
+        assert np.isclose(m.sigma_epsilon, 0.8)
+
+    def test_pseudo_validate_internal(self, dataset):
+        np.random.seed(6)
+        m = VIPRS(dataset)
+        m.split_gwas_sumstats(prop_train=0.8, seed=1)
+        m.fit(max_iter=100)
+        r2 = m.pseudo_validate()
+        assert np.isfinite(r2)
+        assert 0 <= r2 <= 1.0
+
+
+class TestVIPRSMix:
+
+    def test_smoke_fit(self, dataset, sim):
+        np.random.seed(7)
+        m = VIPRSMix(dataset, K=3)
+        m.initialize()
+        assert m.pi.shape == (3,)
+        assert np.all(m.pi > 0) and m.pi.sum() < 1
+        assert m.tau_beta.shape == (3,)
+
+        m.fit(max_iter=200)
+        assert m.optim_result.stop_iteration
+        pip = np.concatenate([m.pip[c] for c in m.chromosomes])
+        assert np.all((pip >= 0) & (pip <= 1 + 1e-6))
+        eta = np.concatenate([m.post_mean_beta[c] for c in m.chromosomes])
+        bt = np.concatenate([sim['beta_true'][c] for c in m.chromosomes])
+        assert np.corrcoef(eta, bt)[0, 1] > 0.3
+        # K=1 mixture should behave like plain VIPRS:
+
+    def test_k1_close_to_viprs(self, dataset):
+        np.random.seed(8)
+        mv = VIPRS(dataset)
+        mv.fit(max_iter=150, theta_0={'pi': 0.05, 'sigma_epsilon': 0.7})
+        np.random.seed(8)
+        mm = VIPRSMix(dataset, K=1)
+        mm.fit(max_iter=150, theta_0={'pi': 0.05, 'sigma_epsilon': 0.7})
+        eta_v = np.concatenate([mv.post_mean_beta[c] for c in mv.chromosomes])
+        eta_m = np.concatenate([mm.post_mean_beta[c] for c in mm.chromosomes])
+        assert np.corrcoef(eta_v, eta_m)[0, 1] > 0.99
+
+
+class TestVIPRSGrid:
+
+    def _grid(self, dataset):
+        return HyperparameterGrid(pi_steps=4, n_snps=dataset.m)
+
+    def test_simultaneous_fit(self, dataset):
+        np.random.seed(9)
+        g = VIPRSGrid(dataset, self._grid(dataset))
+        g.fit(max_iter=200)
+        assert g.n_models == 4
+        vt = g.to_validation_table()
+        assert len(vt) == 4 and 'ELBO' in vt.columns
+        # per-model posterior matrices:
+        for c, sz in g.shapes.items():
+            assert g.var_gamma[c].shape == (sz, 4)
+
+    def test_pathwise_fit(self, dataset):
+        np.random.seed(10)
+        g = VIPRSGrid(dataset, self._grid(dataset))
+        g.fit(pathwise=True, max_iter=200)
+        assert len(g.optim_results) == 4
+        assert g.to_validation_table()['ELBO'].notna().all()
+
+    def test_select_best_model_elbo(self, dataset):
+        np.random.seed(11)
+        g = VIPRSGrid(dataset, self._grid(dataset))
+        g.fit(max_iter=200)
+        elbos = np.asarray(g.elbo())
+        best = int(np.argmax(np.where(g.valid_terminated_models, elbos, -np.inf)))
+        select_best_model(g, criterion='ELBO')
+        assert g.n_models == 1
+        assert np.isclose(g.pi, g.grid_table.iloc[best]['pi'])
+        for c, sz in g.shapes.items():
+            assert g.var_gamma[c].shape == (sz,)
+
+    def test_select_pseudo_validation(self, dataset):
+        np.random.seed(12)
+        g = VIPRSGrid(dataset, self._grid(dataset))
+        g.split_gwas_sumstats(prop_train=0.8, seed=2)
+        g.fit(max_iter=200)
+        select_best_model(g, criterion='pseudo_validation')
+        assert g.n_models == 1
+        assert 'Pseudo_Validation_R2' in g.validation_result.columns
+
+    def test_bma(self, dataset):
+        np.random.seed(13)
+        g = VIPRSGrid(dataset, self._grid(dataset))
+        g.fit(max_iter=200)
+        bayesian_model_average(g)
+        assert g.n_models == 1
+        assert g.post_mean_beta is not None
+        eta = np.concatenate([g.post_mean_beta[c] for c in g.chromosomes])
+        assert np.all(np.isfinite(eta))
+
+
+class TestLDPredInf:
+
+    def test_fit(self, dataset, sim):
+        m = LDPredInf(dataset, h2=0.35)
+        m.fit()
+        eta = np.concatenate([m.post_mean_beta[c] for c in m.chromosomes])
+        bt = np.concatenate([sim['beta_true'][c] for c in m.chromosomes])
+        assert np.corrcoef(eta, bt)[0, 1] > 0.3

@@ -175,7 +175,9 @@ class TestSweepParity:
         pi0, sig_e, tau_b = 0.05, 0.9, 1000.0
         B = 256
 
-        ld, layout = pack_dense_blocks({1: Rs}, block_size=B)
+        # greedy=False: tile boundaries must line up with the separate runs
+        # for exact comparison
+        ld, layout = pack_dense_blocks({1: Rs}, block_size=B, greedy=False)
         sb_flat = layout.to_flat({1: np.concatenate(sbs)})
         n_flat = layout.to_flat({1: np.concatenate(ns)})
         state = make_state(pi0, ld.nb, B)

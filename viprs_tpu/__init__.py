@@ -9,12 +9,22 @@ batch axis, fused on-device EM loops, and block-sharded multi-chip execution.
 See DESIGN.md at the repository root for the architecture.
 """
 
+import os as _os
+
 import jax
 
 # Full-framework requirement: ELBO convergence is measured at 1e-6 absolute on
 # objectives of magnitude ~1e5-1e6 (reference defaults, viprs/model/VIPRS.py:909-919),
 # which requires float64 scalar accumulation. State arrays remain explicitly float32.
 jax.config.update("jax_enable_x64", True)
+
+# Some JAX builds pin jax_platforms and ignore the JAX_PLATFORMS env var; honor
+# the env var here so `JAX_PLATFORMS=cpu viprs_fit ...` behaves as documented.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
 
 __version__ = "0.1.0"
 

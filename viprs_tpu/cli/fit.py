@@ -1,0 +1,365 @@
+"""viprs_fit — fit TPU-native PRS models to GWAS summary statistics.
+
+CLI parity with the reference's bin/viprs_fit (EM / grid-search / BMA modes,
+hyperparameter grid flags, PUMAS splitting, validation-based selection,
+profiler metrics, logging), restructured for the TPU execution model: all
+chromosomes are fit jointly as sharded block ranges (the reference's
+``--genomewide`` semantics are the default; per-chromosome process fan-out has
+no TPU analog).
+"""
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+logger = logging.getLogger("viprs_fit")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog='viprs_fit',
+        description="Fit variational Bayesian PRS models (TPU-native viprs).")
+
+    # ------------------------------ data ------------------------------
+    parser.add_argument('-l', '--ld-panel', dest='ld_dir', required=True,
+                        help="Path (or glob) to the LD store directory/directories.")
+    parser.add_argument('-s', '--sumstats', dest='sumstats_path', required=True,
+                        help="Path (or glob) to the GWAS summary statistics file(s).")
+    parser.add_argument('--sumstats-format', dest='sumstats_format',
+                        default='magenpy',
+                        choices=['plink1.9', 'plink2', 'cojo', 'magenpy', 'fastgwa',
+                                 'ssf', 'gwas-ssf', 'gwascatalog', 'saige', 'custom'])
+    parser.add_argument('--custom-sumstats-mapper', dest='custom_mapper', default=None,
+                        help="Comma-separated file_col=canonical_col pairs for "
+                             "--sumstats-format custom.")
+    parser.add_argument('--gwas-sample-size', dest='gwas_n', type=float, default=None,
+                        help="Fallback GWAS sample size when the file lacks N.")
+    parser.add_argument('--extract', dest='extract_file', default=None,
+                        help="File with variant IDs to restrict the analysis to.")
+    parser.add_argument('--exclude-lrld', dest='exclude_lrld', action='store_true',
+                        help="Exclude long-range LD regions.")
+    parser.add_argument('--block-size', dest='block_size', type=int, default=1024,
+                        help="TPU LD tile size (multiple of 128).")
+    parser.add_argument('--dequantize-on-the-fly', dest='dequantize',
+                        action='store_true',
+                        help="Keep LD int8-quantized in HBM, dequantize in-kernel.")
+
+    # ------------------------------ model -----------------------------
+    parser.add_argument('-m', '--model', dest='model', default='VIPRS',
+                        choices=['VIPRS', 'VIPRSMix', 'VIPRSGrid'])
+    parser.add_argument('--n-components', dest='n_components', type=int, default=3,
+                        help="Number of slab components for VIPRSMix.")
+    parser.add_argument('--hyp-search', dest='hyp_search', default='EM',
+                        choices=['EM', 'GS', 'BMA'],
+                        help="EM: learn hyperparameters; GS: grid search; "
+                             "BMA: Bayesian model averaging over the grid.")
+    parser.add_argument('--grid-metric', dest='grid_metric', default='ELBO',
+                        choices=['ELBO', 'validation', 'pseudo_validation'])
+    parser.add_argument('--pathwise', dest='pathwise', action='store_true',
+                        help="Serial warm-started grid schedule instead of the "
+                             "simultaneous vmapped fit.")
+
+    # grid specification:
+    parser.add_argument('--pi-grid', dest='pi_grid', default=None,
+                        help="Comma-separated grid values for pi.")
+    parser.add_argument('--pi-steps', dest='pi_steps', type=int, default=None)
+    parser.add_argument('--sigma-epsilon-grid', dest='sigma_epsilon_grid', default=None)
+    parser.add_argument('--sigma-epsilon-steps', dest='sigma_epsilon_steps',
+                        type=int, default=None)
+    parser.add_argument('--tau-beta-grid', dest='tau_beta_grid', default=None)
+    parser.add_argument('--tau-beta-steps', dest='tau_beta_steps', type=int,
+                        default=None)
+    parser.add_argument('--lambda-min-steps', dest='lambda_min_steps', type=int,
+                        default=None)
+    parser.add_argument('--h2-est', dest='h2_est', type=float, default=None)
+    parser.add_argument('--h2-se', dest='h2_se', type=float, default=None)
+
+    # fixed hyperparameters:
+    parser.add_argument('--fix-pi', dest='fix_pi', type=float, default=None)
+    parser.add_argument('--fix-sigma-epsilon', dest='fix_sigma_epsilon',
+                        type=float, default=None)
+    parser.add_argument('--fix-tau-beta', dest='fix_tau_beta', type=float,
+                        default=None)
+    parser.add_argument('--lambda-min', dest='lambda_min', default=None,
+                        help="Numeric value or 'infer'.")
+
+    # ---------------------------- validation --------------------------
+    parser.add_argument('--validation-bed', dest='validation_bed', default=None,
+                        help="BED fileset with individual-level validation data "
+                             "(for --grid-metric validation).")
+    parser.add_argument('--validation-pheno', dest='validation_pheno', default=None)
+    parser.add_argument('--validation-keep', dest='validation_keep', default=None)
+    parser.add_argument('--validation-sumstats', dest='validation_sumstats',
+                        default=None,
+                        help="Independent sumstats for pseudo-validation.")
+    parser.add_argument('--prop-train', dest='prop_train', type=float, default=0.8,
+                        help="PUMAS training proportion when splitting sumstats.")
+
+    # ------------------------------- fit ------------------------------
+    parser.add_argument('--max-iter', dest='max_iter', type=int, default=1000)
+    parser.add_argument('--f-abs-tol', dest='f_abs_tol', type=float, default=1e-6)
+    parser.add_argument('--x-abs-tol', dest='x_abs_tol', type=float, default=1e-6)
+    parser.add_argument('--patience', dest='patience', type=int, default=10)
+    parser.add_argument('--float-precision', dest='float_precision',
+                        default='float32', choices=['float32', 'float64'])
+    parser.add_argument('--threads', dest='threads', type=int, default=1,
+                        help="Accepted for compatibility; TPU execution ignores it.")
+    parser.add_argument('--n-jobs', dest='n_jobs', type=int, default=1,
+                        help="Accepted for compatibility; chromosomes are fit "
+                             "jointly on TPU.")
+    parser.add_argument('--genomewide', dest='genomewide', action='store_true',
+                        help="Accepted for compatibility (always genome-wide).")
+
+    # ------------------------------ output ----------------------------
+    parser.add_argument('--output-file', dest='output_file', required=True,
+                        help="Output prefix (writes <prefix>.fit.gz etc.).")
+    parser.add_argument('--output-profiler-metrics', dest='profiler',
+                        action='store_true')
+    parser.add_argument('--log-level', dest='log_level', default='WARNING')
+    parser.add_argument('--seed', dest='seed', type=int, default=None)
+
+    return parser
+
+
+def _parse_grid_values(s):
+    return np.array([float(v) for v in s.split(',')]) if s else None
+
+
+def check_args(args):
+    if args.hyp_search in ('GS', 'BMA') and args.model != 'VIPRSGrid':
+        args.model = 'VIPRSGrid'
+    if args.model == 'VIPRSGrid' and args.hyp_search == 'EM':
+        args.hyp_search = 'GS'
+    if args.model == 'VIPRSGrid':
+        has_grid = any([args.pi_grid, args.pi_steps, args.sigma_epsilon_grid,
+                        args.sigma_epsilon_steps, args.tau_beta_grid,
+                        args.tau_beta_steps, args.lambda_min_steps])
+        if not has_grid:
+            args.pi_steps = 10
+    if args.grid_metric == 'validation':
+        assert args.validation_bed and args.validation_pheno, \
+            "--grid-metric validation requires --validation-bed and --validation-pheno"
+    return args
+
+
+def init_data(args):
+    from ..data.loader import GWADataLoader
+
+    extract = None
+    if args.extract_file:
+        import pandas as pd
+        extract = pd.read_csv(args.extract_file, header=None).iloc[:, 0].tolist()
+
+    kwargs = {}
+    if args.custom_mapper:
+        kwargs['column_map'] = dict(kv.split('=') for kv in args.custom_mapper.split(','))
+
+    loader = GWADataLoader(
+        ld_store_files=args.ld_dir,
+        sumstats_files=args.sumstats_path,
+        sumstats_format=args.sumstats_format,
+        n=args.gwas_n,
+        block_size=args.block_size,
+        quantize_ld=args.dequantize,
+        **kwargs)
+
+    if extract is not None:
+        loader.filter_snps(extract)
+    if args.exclude_lrld:
+        loader.filter_long_range_ld_regions()
+
+    validation_gdl = None
+    if args.validation_bed:
+        keep = None
+        if args.validation_keep:
+            import pandas as pd
+            keep = set(pd.read_csv(args.validation_keep, sep=r'\s+',
+                                   header=None).iloc[:, -1].astype(str))
+        validation_gdl = GWADataLoader(
+            bed_files=args.validation_bed,
+            phenotype_file=args.validation_pheno,
+            keep_samples=keep)
+
+    validation_ss = None
+    if args.validation_sumstats:
+        from ..data.sumstats import read_sumstats
+        validation_ss = read_sumstats(args.validation_sumstats,
+                                      sumstats_format=args.sumstats_format,
+                                      n=args.gwas_n)
+
+    return loader, validation_gdl, validation_ss
+
+
+def prepare_model(args, dataset):
+    from ..model import VIPRS, VIPRSMix, VIPRSGrid
+    from ..gridsearch import HyperparameterGrid
+
+    fix_params = {}
+    if args.fix_pi is not None:
+        fix_params['pi'] = args.fix_pi
+    if args.fix_sigma_epsilon is not None:
+        fix_params['sigma_epsilon'] = args.fix_sigma_epsilon
+    if args.fix_tau_beta is not None:
+        fix_params['tau_beta'] = args.fix_tau_beta
+
+    lam = args.lambda_min
+    if lam is not None and lam != 'infer':
+        lam = float(lam)
+
+    common = dict(fix_params=fix_params, lambda_min=lam,
+                  float_precision=args.float_precision)
+
+    if args.model == 'VIPRS':
+        return VIPRS(dataset, **common)
+    if args.model == 'VIPRSMix':
+        common.pop('float_precision', None)
+        return VIPRSMix(dataset, K=args.n_components,
+                        fix_params=fix_params,
+                        lambda_min=None if lam == 'infer' else lam)
+
+    from ..data.ldsc import simple_ldsc
+    try:
+        h2_est = args.h2_est or float(np.clip(simple_ldsc(dataset), 0.01, 0.99))
+    except Exception:
+        h2_est = 0.1
+    grid = HyperparameterGrid(
+        sigma_epsilon_grid=_parse_grid_values(args.sigma_epsilon_grid),
+        sigma_epsilon_steps=args.sigma_epsilon_steps,
+        tau_beta_grid=_parse_grid_values(args.tau_beta_grid),
+        tau_beta_steps=args.tau_beta_steps,
+        pi_grid=_parse_grid_values(args.pi_grid),
+        pi_steps=args.pi_steps,
+        lambda_min_steps=args.lambda_min_steps,
+        h2_est=h2_est, h2_se=args.h2_se,
+        n_snps=dataset.m)
+    return VIPRSGrid(dataset, grid, **common)
+
+
+def fit_model(args, model, validation_gdl, validation_ss):
+    from ..gridsearch import select_best_model, bayesian_model_average
+
+    pumas_split = (args.model == 'VIPRSGrid'
+                   and args.grid_metric == 'pseudo_validation'
+                   and validation_gdl is None and validation_ss is None)
+    if pumas_split:
+        logger.info("> No validation data provided; splitting the GWAS summary "
+                    "statistics (PUMAS).")
+        model.split_gwas_sumstats(prop_train=args.prop_train, seed=args.seed)
+
+    fit_kwargs = dict(max_iter=args.max_iter, f_abs_tol=args.f_abs_tol,
+                      x_abs_tol=args.x_abs_tol, patience=args.patience)
+    if args.model == 'VIPRSGrid':
+        fit_kwargs['pathwise'] = args.pathwise
+
+    t0 = time.time()
+    try:
+        model.fit(**fit_kwargs)
+    except Exception as e:
+        # reference behavior: on errored fit with sigma_g < 0 and lambda_min == 0,
+        # infer lambda_min from the LD spectrum and refit (bin/viprs_fit:509-521):
+        if getattr(model, 'lambda_min', 1.0) == 0.0:
+            logger.warning("Fit failed (%s); retrying with inferred lambda_min.", e)
+            lam = model.infer_lambda_min() if hasattr(model, 'infer_lambda_min') else 0.0
+            model.set_fixed_params({'lambda_min': lam})
+            model.fit(**fit_kwargs)
+        else:
+            raise
+    fit_time = time.time() - t0
+
+    if args.model == 'VIPRSGrid':
+        if args.hyp_search == 'BMA':
+            bayesian_model_average(model)
+        else:
+            vgdl = validation_gdl
+            if args.grid_metric == 'pseudo_validation' and validation_ss is not None:
+                # harmonize external validation sumstats into the model's dataset:
+                model.validation_std_beta = _align_validation_ss(model, validation_ss)
+                vgdl = None
+            select_best_model(model, validation_gdl=vgdl,
+                              criterion=args.grid_metric)
+            if pumas_split:
+                logger.info("> Restoring full summary statistics and refitting "
+                            "the selected model.")
+                model.restore_full_sumstats()
+                model.fit(max_iter=args.max_iter, f_abs_tol=args.f_abs_tol,
+                          x_abs_tol=args.x_abs_tol, patience=args.patience)
+
+    return model, fit_time
+
+
+def _align_validation_ss(model, validation_ss):
+    from ..data.harmonize import merge_snp_tables
+    snp_tables = (model.dataset.snp_table or model.dataset.default_snp_table())
+    out = {}
+    vtab = validation_ss.table.copy()
+    vtab['STD_BETA'] = validation_ss.get_snp_pseudo_corr()
+    for c, tab in snp_tables.items():
+        merged = merge_snp_tables(tab[['SNP', 'A1', 'A2']], vtab, how='left',
+                                  signed_statistics=['STD_BETA'])
+        out[c] = merged['STD_BETA'].fillna(0.).values
+    return out
+
+
+def main(argv=None):
+    args = check_args(build_parser().parse_args(argv))
+
+    logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.WARNING))
+    if args.seed is not None:
+        np.random.seed(args.seed)
+
+    t_start = time.time()
+    logger.info("> Loading and harmonizing data...")
+    loader, validation_gdl, validation_ss = init_data(args)
+    dataset = loader.to_summary_dataset()
+    data_time = time.time() - t_start
+
+    logger.info("> Preparing model (%s / %s)...", args.model, args.hyp_search)
+    model = prepare_model(args, dataset)
+
+    model, fit_time = fit_model(args, model, validation_gdl, validation_ss)
+
+    # ------------------------------ outputs ------------------------------
+    out_prefix = args.output_file
+    out_dir = osp.dirname(out_prefix)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    tab = model.to_table()
+    tab.to_csv(out_prefix + '.fit.gz', sep="\t", index=False, compression='gzip')
+
+    model.write_inferred_theta(out_prefix + '.hyp')
+
+    if getattr(model, 'validation_result', None) is not None:
+        model.write_validation_result(out_prefix + '.validation')
+
+    if args.profiler:
+        total_iters = getattr(model.optim_result, 'nit', None)
+        prof = {
+            'DataPrep_Time': round(data_time, 3),
+            'Fit_time': round(fit_time, 3),
+            'Total_Iterations': total_iters,
+            'Total_WallClockTime': round(time.time() - t_start, 3),
+        }
+        try:
+            import psutil
+            prof['Peak_Memory_MB'] = round(
+                psutil.Process().memory_info().rss / 1024 ** 2, 2)
+        except Exception:
+            pass
+        import pandas as pd
+        pd.DataFrame([prof]).to_csv(out_prefix + '.prof', sep="\t", index=False)
+
+    logger.info("> Done. Outputs written with prefix %s", out_prefix)
+    print(f"viprs_fit finished in {time.time() - t_start:.2f}s; "
+          f"outputs: {out_prefix}.fit.gz")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,431 @@
+"""GWADataLoader — the user-facing data integration facade.
+
+Owns the role of magenpy's GWADataLoader in the reference (constructed from LD
+stores + BED genotypes + summary-statistics files; harmonization across sources;
+scoring; GWAS; SURVEY.md §2.6), producing the TPU-facing
+:class:`~viprs_tpu.data.dataset.SummaryStatsDataset` for the models.
+"""
+
+import glob as _glob
+import logging
+import os.path as osp
+
+import numpy as np
+import pandas as pd
+
+from .dataset import SummaryStatsDataset
+from .genotype import GenotypeMatrix
+from .harmonize import merge_snp_tables
+from .sumstats import read_sumstats, SumstatsTable
+from . import ld_store as ld_store_mod
+from . import ld_estimators
+
+logger = logging.getLogger(__name__)
+
+# Long-range LD regions (hg19/GRCh37; Price et al. 2008 AJHG) as
+# (chrom, start_mb, stop_mb):
+LONG_RANGE_LD_REGIONS = [
+    (1, 48, 52), (2, 86, 100.5), (2, 134.5, 138), (2, 183, 190),
+    (3, 47.5, 50), (3, 83.5, 87), (3, 89, 97.5), (5, 44.5, 50.5),
+    (5, 98, 100.5), (5, 129, 132), (5, 135.5, 138.5), (6, 25.5, 33.5),
+    (6, 57, 64), (6, 140, 142.5), (7, 55, 66), (8, 8, 12), (8, 43, 50),
+    (8, 112, 115), (10, 37, 43), (11, 46, 57), (11, 87.5, 90.5),
+    (12, 33, 40), (12, 109.5, 112), (20, 32, 34.5),
+]
+
+
+def get_filenames(path_or_pattern):
+    """Expand a path / glob pattern / list into a sorted file list."""
+    if path_or_pattern is None:
+        return []
+    if isinstance(path_or_pattern, (list, tuple)):
+        out = []
+        for p in path_or_pattern:
+            out.extend(get_filenames(p))
+        return out
+    matches = sorted(_glob.glob(str(path_or_pattern)))
+    return matches if matches else [str(path_or_pattern)]
+
+
+class GWADataLoader:
+    """
+    :ivar genotype: GenotypeMatrix or None.
+    :ivar sumstats_table: {chrom: SumstatsTable} after harmonization.
+    :ivar ld_blocks: {chrom: [dense LD blocks]} (host-side, pre-packing).
+    :ivar ld_snp_tables: {chrom: DataFrame} variant tables aligned with ld_blocks.
+    :ivar phenotype_likelihood: 'gaussian' | 'binomial'.
+    """
+
+    def __init__(self,
+                 bed_files=None,
+                 ld_store_files=None,
+                 sumstats_files=None,
+                 sumstats_format='magenpy',
+                 keep_samples=None,
+                 extract_snps=None,
+                 phenotype_file=None,
+                 phenotype_likelihood='infer',
+                 n=None,
+                 block_size=1024,
+                 quantize_ld=False,
+                 temp_dir='temp',
+                 **sumstats_kwargs):
+
+        self.block_size = block_size
+        self.quantize_ld = quantize_ld
+        self.temp_dir = temp_dir
+
+        # ---------------- genotype ----------------
+        self.genotype = None
+        if bed_files:
+            beds = get_filenames(bed_files)
+            if len(beds) > 1:
+                raise NotImplementedError(
+                    "Multiple BED files per loader are not supported yet; "
+                    "pass one merged fileset or one per-chromosome loader.")
+            self.genotype = GenotypeMatrix(beds[0], keep_samples=keep_samples,
+                                           extract_snps=extract_snps)
+
+        # ---------------- LD store ----------------
+        self.ld_blocks = None
+        self.ld_snp_tables = None
+        if ld_store_files:
+            stores = get_filenames(ld_store_files)
+            self.ld_blocks, self.ld_snp_tables = {}, {}
+            for store in stores:
+                if not osp.exists(store):
+                    raise FileNotFoundError(f"LD store not found: {store}")
+                if osp.isdir(store) and any(
+                        f.startswith('chr_') for f in __import__('os').listdir(store)):
+                    blocks, tables = ld_store_mod.load_ld_store(store)
+                    self.ld_blocks.update(blocks)
+                    if tables:
+                        self.ld_snp_tables.update(tables)
+                else:
+                    banded, tables = ld_store_mod.load_magenpy_zarr(store)
+                    # convert banded to blocks lazily at pack time:
+                    self._banded = banded
+                    if tables:
+                        self.ld_snp_tables.update(tables)
+            if not self.ld_snp_tables:
+                self.ld_snp_tables = None
+
+        # ---------------- summary statistics ----------------
+        self.sumstats_table = None
+        self._raw_sumstats = None
+        if sumstats_files:
+            files = get_filenames(sumstats_files)
+            tables = [read_sumstats(f, sumstats_format=sumstats_format, n=n,
+                                    **sumstats_kwargs).table for f in files]
+            self._raw_sumstats = SumstatsTable(pd.concat(tables, ignore_index=True))
+
+        # ---------------- phenotype ----------------
+        self.phenotype = None
+        self.phenotype_likelihood = None
+        if phenotype_file:
+            self.read_phenotype(phenotype_file, likelihood=phenotype_likelihood)
+        elif self.genotype is not None and self.genotype.fam['PHENO'].nunique() > 1:
+            self._set_phenotype(self.genotype.fam['PHENO'].values,
+                                phenotype_likelihood)
+
+        self._dataset = None
+        if self._raw_sumstats is not None and self.ld_blocks is not None:
+            self.harmonize_data()
+
+    # -------------------------------------------------------------- phenotype
+    def read_phenotype(self, phenotype_file, likelihood='infer', pheno_col=2):
+        df = pd.read_csv(phenotype_file, sep=r'\s+', header=None)
+        df.columns = ['FID', 'IID'] + [f'c{i}' for i in range(df.shape[1] - 2)]
+        if self.genotype is not None:
+            merged = self.genotype.fam[['FID', 'IID']].astype(str).merge(
+                df.astype({'FID': str, 'IID': str}), on=['FID', 'IID'], how='left')
+            vals = merged.iloc[:, pheno_col].values.astype(np.float64)
+        else:
+            vals = df.iloc[:, pheno_col].values.astype(np.float64)
+        self._set_phenotype(vals, likelihood)
+
+    def _set_phenotype(self, vals, likelihood='infer'):
+        vals = np.asarray(vals, dtype=np.float64)
+        if likelihood == 'infer' or likelihood is None:
+            uniq = set(np.unique(vals[~np.isnan(vals)]))
+            if uniq <= {0.0, 1.0} or uniq <= {1.0, 2.0}:
+                likelihood = 'binomial'
+                if uniq <= {1.0, 2.0} and 2.0 in uniq:
+                    vals = vals - 1.0  # plink 1/2 coding -> 0/1
+            else:
+                likelihood = 'gaussian'
+        self.phenotype = vals
+        self.phenotype_likelihood = likelihood
+
+    @property
+    def sample_table(self):
+        if self.genotype is None:
+            return None
+        tab = self.genotype.fam.copy()
+        if self.phenotype is not None:
+            tab['PHENO'] = self.phenotype
+        tab_ns = tab
+        tab_ns.phenotype = self.phenotype  # attribute-style access compat
+        return tab_ns
+
+    # ---------------------------------------------------------------- LD / GWAS
+    def compute_ld(self, estimator='block', ldetect_blocks=None,
+                   block_file=None, **kwargs):
+        """Estimate LD from the attached genotype (reference compute_ld surface)."""
+        assert self.genotype is not None, "No genotype data attached."
+        if block_file is not None and ldetect_blocks is None:
+            ldetect_blocks = ld_estimators.read_ldetect_blocks(block_file)
+        func = ld_estimators.ESTIMATORS[estimator]
+        if estimator in ('block', 'shrinkage'):
+            self.ld_blocks = func(self.genotype, ldetect_blocks, **kwargs)
+        else:
+            self.ld_blocks = func(self.genotype, **kwargs)
+        bim = self.genotype.bim
+        self.ld_snp_tables = {
+            c: bim.loc[bim['CHR'] == c,
+                       ['CHR', 'SNP', 'POS', 'A1', 'A2']].reset_index(drop=True)
+            for c in self.genotype.chromosomes}
+        self._dataset = None
+        return self
+
+    def perform_gwas(self, **kwargs):
+        assert self.genotype is not None and self.phenotype is not None
+        self._raw_sumstats = self.genotype.perform_gwas(self.phenotype, **kwargs)
+        if self.ld_blocks is not None:
+            self.harmonize_data()
+        return self._raw_sumstats
+
+    def read_summary_statistics(self, sumstats_files, sumstats_format='magenpy',
+                                **kwargs):
+        files = get_filenames(sumstats_files)
+        tables = [read_sumstats(f, sumstats_format=sumstats_format, **kwargs).table
+                  for f in files]
+        self._raw_sumstats = SumstatsTable(pd.concat(tables, ignore_index=True))
+        if self.ld_blocks is not None:
+            self.harmonize_data()
+        return self._raw_sumstats
+
+    # ------------------------------------------------------------ harmonization
+    def harmonize_data(self):
+        """Intersect & allele-align summary statistics with the LD variant
+        tables, filtering LD blocks to the common variants. The LD store's
+        variant order defines the block structure."""
+        assert self._raw_sumstats is not None, "No summary statistics loaded."
+        assert self.ld_blocks is not None, "No LD data loaded."
+        if self.ld_snp_tables is None:
+            raise ValueError("The LD store has no variant tables; cannot harmonize.")
+
+        ss = self._raw_sumstats.table
+        self.sumstats_table = {}
+        new_blocks, new_tables = {}, {}
+
+        for c, ld_tab in self.ld_snp_tables.items():
+            merged = merge_snp_tables(ld_tab[['SNP', 'A1', 'A2']], ss, how='left',
+                                      signed_statistics=[col for col in
+                                                         ('BETA', 'Z') if col in ss.columns])
+            present = merged['Z'].notna().values if 'Z' in merged.columns else \
+                merged['BETA'].notna().values
+
+            # filter LD blocks down to variants present in the sumstats:
+            blocks, kept_rows = [], []
+            offset = 0
+            for blk in self.ld_blocks[c]:
+                m_b = blk.shape[0]
+                sel = np.where(present[offset:offset + m_b])[0]
+                if len(sel):
+                    blocks.append(np.ascontiguousarray(blk[np.ix_(sel, sel)]))
+                    kept_rows.extend(offset + sel)
+                offset += m_b
+            if not blocks:
+                continue
+
+            kept = np.asarray(kept_rows)
+            new_blocks[c] = blocks
+            keep_tab = ld_tab.iloc[kept].reset_index(drop=True)
+            if 'CHR' not in keep_tab.columns:
+                keep_tab.insert(0, 'CHR', c)
+            new_tables[c] = keep_tab
+
+            sub = merged.iloc[kept].reset_index(drop=True)
+            sub = sub.assign(CHR=c, POS=keep_tab['POS'].values
+                             if 'POS' in keep_tab.columns else np.arange(len(sub)))
+            self.sumstats_table[c] = SumstatsTable(sub)
+
+        self.ld_blocks = new_blocks
+        self.ld_snp_tables = new_tables
+        self._dataset = None
+        return self
+
+    def filter_snps(self, extract_snps, chromosome=None):
+        """Subset to the given variants (reference GWADataLoader.filter_snps)."""
+        snpset = set(extract_snps)
+        for c in list(self.ld_snp_tables or {}):
+            if chromosome is not None and c != chromosome:
+                continue
+            tab = self.ld_snp_tables[c]
+            present = tab['SNP'].isin(snpset).values
+            blocks, kept = [], []
+            offset = 0
+            for blk in self.ld_blocks[c]:
+                m_b = blk.shape[0]
+                sel = np.where(present[offset:offset + m_b])[0]
+                if len(sel):
+                    blocks.append(np.ascontiguousarray(blk[np.ix_(sel, sel)]))
+                    kept.extend(offset + sel)
+                offset += m_b
+            self.ld_blocks[c] = blocks
+            self.ld_snp_tables[c] = tab.iloc[np.asarray(kept, int)].reset_index(drop=True)
+            if self.sumstats_table and c in self.sumstats_table:
+                st = self.sumstats_table[c].table
+                self.sumstats_table[c] = SumstatsTable(
+                    st.iloc[np.asarray(kept, int)].reset_index(drop=True))
+        self._dataset = None
+        return self
+
+    def filter_long_range_ld_regions(self):
+        """Drop variants in known long-range LD regions (hg19 coordinates;
+        reference use-site bin/viprs_fit:216-218)."""
+        if self.ld_snp_tables is None:
+            return self
+        keep_snps = []
+        for c, tab in self.ld_snp_tables.items():
+            pos_mb = tab['POS'].values / 1e6
+            mask = np.ones(len(tab), dtype=bool)
+            for chrom, start, stop in LONG_RANGE_LD_REGIONS:
+                if str(chrom) == str(c):
+                    mask &= ~((pos_mb >= start) & (pos_mb <= stop))
+            keep_snps.extend(tab['SNP'].values[mask])
+        return self.filter_snps(keep_snps)
+
+    # ------------------------------------------------------------------- views
+    @property
+    def chromosomes(self):
+        if self.sumstats_table is not None:
+            return sorted(self.sumstats_table.keys())
+        if self.ld_snp_tables is not None:
+            return sorted(self.ld_snp_tables.keys())
+        if self.genotype is not None:
+            return self.genotype.chromosomes
+        return []
+
+    @property
+    def shapes(self):
+        if self.sumstats_table is not None:
+            return {c: len(t) for c, t in self.sumstats_table.items()}
+        if self.ld_snp_tables is not None:
+            return {c: len(t) for c, t in self.ld_snp_tables.items()}
+        if self.genotype is not None:
+            bim = self.genotype.bim
+            return {c: int((bim['CHR'] == c).sum()) for c in self.genotype.chromosomes}
+        return {}
+
+    @property
+    def m(self):
+        return int(sum(self.shapes.values()))
+
+    @property
+    def n_snps(self):
+        return self.m
+
+    @property
+    def n(self):
+        if self.genotype is not None:
+            return self.genotype.n
+        if self.sumstats_table is not None:
+            return float(max(t.n_per_snp.max() for t in self.sumstats_table.values()))
+        return None
+
+    @property
+    def snps(self):
+        return {c: t['SNP'].values for c, t in (self.ld_snp_tables or {}).items()}
+
+    def to_snp_table(self, col_subset=None, per_chromosome=False):
+        tables = {}
+        source = self.ld_snp_tables
+        if source is None and self.genotype is not None:
+            bim = self.genotype.bim
+            source = {c: bim.loc[bim['CHR'] == c].reset_index(drop=True)
+                      for c in self.genotype.chromosomes}
+        for c, tab in (source or {}).items():
+            t = tab.copy()
+            if 'CHR' not in t.columns:
+                t.insert(0, 'CHR', c)
+            if col_subset:
+                t = t[[col for col in col_subset if col in t.columns]]
+            tables[c] = t
+        if per_chromosome:
+            return tables
+        return pd.concat(list(tables.values()), ignore_index=True) if tables else None
+
+    def to_summary_statistics_table(self, col_subset=None, per_chromosome=False):
+        assert self.sumstats_table is not None
+        tables = {c: t.to_table(col_subset=col_subset)
+                  for c, t in self.sumstats_table.items()}
+        if per_chromosome:
+            return tables
+        return pd.concat(list(tables.values()), ignore_index=True)
+
+    def to_individual_table(self):
+        assert self.genotype is not None
+        return self.genotype.fam[['FID', 'IID']].copy()
+
+    def to_phenotype_table(self):
+        tab = self.to_individual_table()
+        tab['phenotype'] = self.phenotype
+        return tab
+
+    # ----------------------------------------------------------------- scoring
+    def score(self, beta):
+        assert self.genotype is not None, "No genotype data for scoring."
+        if isinstance(beta, dict):
+            # align chromosome dict with genotype bim order:
+            flat_parts = []
+            for c in self.genotype.chromosomes:
+                flat_parts.append(np.asarray(beta[c]))
+            beta = np.concatenate([p.reshape(len(p), -1) for p in flat_parts], axis=0)
+        return self.genotype.score(beta)
+
+    predict = score
+
+    # ----------------------------------------------------------------- dataset
+    def to_summary_dataset(self, block_size=None, quantize=None) -> SummaryStatsDataset:
+        """Pack the harmonized data into the device-facing dataset."""
+        if self._dataset is not None:
+            return self._dataset
+        assert self.sumstats_table is not None and self.ld_blocks is not None, \
+            "Loader must have harmonized summary statistics and LD."
+
+        std_beta = {c: t.get_snp_pseudo_corr() for c, t in self.sumstats_table.items()}
+        n_per_snp = {c: t.n_per_snp for c, t in self.sumstats_table.items()}
+        snp_tables = {}
+        for c, tab in self.ld_snp_tables.items():
+            t = tab.copy()
+            if 'CHR' not in t.columns:
+                t.insert(0, 'CHR', c)
+            snp_tables[c] = t
+
+        self._dataset = SummaryStatsDataset.from_dense_blocks(
+            self.ld_blocks, std_beta, n_per_snp, snp_table=snp_tables,
+            block_size=block_size or self.block_size,
+            quantize=self.quantize_ld if quantize is None else quantize,
+            phenotype_likelihood=self.phenotype_likelihood or 'gaussian')
+        return self._dataset
+
+    # ------------------------------------------------------------------- misc
+    def split_by_chromosome(self):
+        """Per-chromosome shallow copies (API compatibility; the TPU framework
+        fits all chromosomes jointly as sharded block ranges)."""
+        out = {}
+        for c in self.chromosomes:
+            sub = GWADataLoader.__new__(GWADataLoader)
+            sub.__dict__.update(self.__dict__)
+            sub.ld_blocks = {c: self.ld_blocks[c]} if self.ld_blocks else None
+            sub.ld_snp_tables = {c: self.ld_snp_tables[c]} if self.ld_snp_tables else None
+            sub.sumstats_table = ({c: self.sumstats_table[c]}
+                                  if self.sumstats_table else None)
+            sub._dataset = None
+            out[c] = sub
+        return out
+
+    def cleanup(self):
+        self._dataset = None

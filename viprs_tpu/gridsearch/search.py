@@ -1,0 +1,160 @@
+"""Post-fit model selection and combination over a fitted grid.
+
+Parity with the reference's gridsearch/grid_utils.py (select_best_model over
+{ELBO, validation, pseudo_validation} criteria; ELBO-softmax Bayesian model
+averaging) and a `GridSearch` facade covering HyperparameterSearch.py's role —
+on TPU the "process-parallel grid search" is simply the simultaneous vmapped
+grid fit, so `GridSearch` wraps VIPRSGrid + selection.
+"""
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def select_best_model(viprs_grid_model, validation_gdl=None, criterion='ELBO'):
+    """Select the best grid point and collapse the model to it.
+
+    :param criterion: one of ('ELBO', 'validation', 'pseudo_validation').
+    """
+    assert criterion in ('ELBO', 'validation', 'pseudo_validation')
+
+    if criterion == 'validation':
+        assert validation_gdl is not None, \
+            "A validation dataset must be provided for the validation criterion."
+    elif (criterion == 'pseudo_validation' and validation_gdl is None
+          and viprs_grid_model.validation_std_beta is None):
+        raise ValueError("A validation dataset or validation standardized betas "
+                         "are required for the pseudo_validation criterion.")
+
+    models_converged = viprs_grid_model.valid_terminated_models
+    if np.sum(models_converged) < 2:
+        raise ValueError("Less than two models converged successfully. "
+                         "Cannot perform model selection.")
+
+    if criterion == 'ELBO':
+        scores = np.array(viprs_grid_model.elbo(), dtype=np.float64)
+        scores[~models_converged] = -np.inf
+        best_idx = int(np.argmax(scores))
+    elif criterion == 'validation':
+        from ..eval.continuous import r2
+        prs = viprs_grid_model.predict(test_gdl=validation_gdl)
+        phenotype = validation_gdl.phenotype
+        scores = np.array([r2(phenotype, prs[:, i])
+                           for i in range(viprs_grid_model.n_models)])
+        scores[~models_converged] = -np.inf
+        viprs_grid_model.validation_result['Validation_R2'] = scores
+        best_idx = int(np.argmax(scores))
+    else:
+        scores = np.array(viprs_grid_model.pseudo_validate(validation_gdl))
+        scores[~models_converged] = -np.inf
+        viprs_grid_model.validation_result['Pseudo_Validation_R2'] = scores
+        best_idx = int(np.argmax(np.nan_to_num(scores, nan=0., neginf=0., posinf=0.)))
+
+    logger.info("> Based on the %s criterion, selected model: %d", criterion, best_idx)
+
+    viprs_grid_model.collapse_to_model(best_idx)
+    return viprs_grid_model
+
+
+def bayesian_model_average(viprs_grid_model, normalization='softmax'):
+    """ELBO-weighted averaging of the variational parameters across valid grid
+    points, followed by an unconstrained M-step refresh of the hyperparameters
+    (reference grid_utils.py:121-193).
+    """
+    if viprs_grid_model.n_models < 2:
+        return viprs_grid_model
+
+    valid = viprs_grid_model.valid_terminated_models
+    if np.sum(valid) < 1:
+        raise ValueError("No models converged successfully. Cannot average models.")
+    keep = np.where(valid)[0]
+
+    elbos = np.asarray(viprs_grid_model.elbo(), dtype=np.float64)
+
+    if normalization == 'softmax':
+        from scipy.special import softmax
+        weights = softmax(elbos)
+    elif normalization == 'sum':
+        weights = elbos - elbos.min() + 1.
+        weights /= weights.sum()
+    else:
+        raise KeyError("Normalization scheme not recognized. "
+                       "Valid options are: `softmax`, `sum`. Got: {}".format(normalization))
+
+    logger.info("Averaging PRS models with weights: %s", weights)
+
+    import jax.numpy as jnp
+    from ..ops.cavi_jax import CaviState, Hyper
+    from ..ops import updates
+
+    st = viprs_grid_model._state
+    w = weights[keep] / weights[keep].sum()
+
+    gamma = np.asarray(st.gamma)[keep]
+    mu = np.asarray(st.mu)[keep]
+    qv = np.asarray(st.q)[keep]
+    h32 = viprs_grid_model._hyper_f32()
+    var_tau = np.asarray(updates.compute_var_tau(
+        viprs_grid_model._n_flat, h32))[keep]
+
+    wbc = w[:, None, None]
+    gamma_avg = (gamma * wbc).sum(axis=0)
+    mu_avg = (mu * wbc).sum(axis=0)
+    q_avg = (qv * wbc).sum(axis=0)
+    var_tau_avg = (var_tau * wbc).sum(axis=0)
+
+    eta_avg = gamma_avg * mu_avg
+    zeta_avg = gamma_avg * (mu_avg ** 2 + 1.0 / var_tau_avg)
+
+    mask = np.asarray(viprs_grid_model.dataset.ld.mask)
+    m_total = float(viprs_grid_model.m)
+    lam = float(np.atleast_1d(viprs_grid_model._hyper.lambda_min)[keep[0]])
+    sb = np.asarray(viprs_grid_model._std_beta_flat)
+
+    # Unconstrained M-step on the averaged moments (grid_utils.py:178-184):
+    pi_new = float((gamma_avg * mask).sum() / m_total)
+    tau_beta_new = pi_new * m_total / float((zeta_avg * mask).sum())
+    sigma_g = float((((1.0 + lam) * zeta_avg + q_avg * eta_avg) * mask).sum())
+    sigma_eps_new = 1.0 - 2.0 * float((sb * eta_avg * mask).sum()) + sigma_g
+
+    g_clip = np.clip(gamma_avg, 1e-8, 1.0 - 1e-8)
+    viprs_grid_model._state = CaviState(
+        logits=jnp.asarray(np.log(g_clip) - np.log1p(-g_clip), jnp.float32)[None],
+        mu=jnp.asarray(mu_avg, jnp.float32)[None],
+        eta=jnp.asarray(eta_avg, jnp.float32)[None],
+        q=jnp.asarray(q_avg, jnp.float32)[None])
+    viprs_grid_model._hyper = Hyper(
+        sigma_eps=np.array([sigma_eps_new]), tau_beta=np.array([tau_beta_new]),
+        pi=np.array([pi_new]), lambda_min=np.array([lam]))
+    viprs_grid_model._sigma_g = np.array([sigma_g])
+    viprs_grid_model._S = 1
+    viprs_grid_model.n_models = 1
+    viprs_grid_model._update_fix_mask_single()
+    viprs_grid_model.update_posterior_moments()
+
+    return viprs_grid_model
+
+
+class GridSearch:
+    """Facade replicating the reference's process-parallel `GridSearch`
+    (HyperparameterSearch.py:197-351): on TPU the grid is fit simultaneously
+    (the vmapped model axis), then the best model is selected by the criterion.
+    """
+
+    def __init__(self, dataset, grid, criterion='ELBO', validation_gdl=None,
+                 model_class=None, **model_kwargs):
+        assert criterion in ('ELBO', 'training_objective', 'validation',
+                             'pseudo_validation')
+        from ..model.grid import VIPRSGrid
+        self.criterion = 'ELBO' if criterion == 'training_objective' else criterion
+        self.validation_gdl = validation_gdl
+        cls = model_class or VIPRSGrid
+        self.model = cls(dataset, grid, **model_kwargs)
+
+    def fit(self, **fit_kwargs):
+        self.model.fit(**fit_kwargs)
+        return select_best_model(self.model, validation_gdl=self.validation_gdl,
+                                 criterion=self.criterion)

@@ -136,42 +136,60 @@ def quantize_int8(x: np.ndarray) -> np.ndarray:
 def pack_dense_blocks(chrom_blocks: dict,
                       block_size: int = 1024,
                       dtype=np.float32,
-                      quantize: bool = False):
+                      quantize: bool = False,
+                      greedy: bool = True):
     """Pack per-chromosome lists of dense LD blocks (LDetect-style block-diagonal
     LD) into a :class:`BlockLD` + :class:`BlockLayout`.
 
-    Each LD block starts at a fresh B-boundary (padding lanes in between), so a
-    block of size m_i spans ``ceil(m_i/B)`` tiles and requires
-    ``n_bands = max_i ceil(m_i/B) - 1`` coupling bands.
+    With ``greedy=True`` (default), several small LD blocks share one B-tile
+    when they fit — exact, since the dense tile stores zeros between them —
+    which removes most padding waste for B >> typical LDetect block size.
+    LD blocks larger than B start at a fresh tile and span ``ceil(m_i/B)``
+    tiles, requiring ``n_bands = max_i ceil(m_i/B) - 1`` coupling bands.
 
     :param chrom_blocks: {chrom: [dense (m_i, m_i) numpy arrays]}
     """
     B = block_size
     chroms = sorted(chrom_blocks.keys())
 
-    # ---- compute layout ----
+    # ---- compute layout: placements are (tile, offset, block) ----
     n_bands = 0
     chrom_sizes, chrom_block_range, flat_idx_parts = [], [], []
-    tile_cursor = 0
-    # record (tile_start, block_matrix) placements
+    tile_cursor, offset = 0, 0
     placements = []
     for c in chroms:
+        if offset > 0:  # chromosomes start at fresh tiles
+            tile_cursor += 1
+            offset = 0
         c_first_tile = tile_cursor
         c_size = 0
         for blk in chrom_blocks[c]:
             m_i = blk.shape[0]
             assert blk.shape == (m_i, m_i)
-            ntiles = _round_up(m_i, B) // B
-            n_bands = max(n_bands, ntiles - 1)
-            base = tile_cursor * B
-            flat_idx_parts.append(np.arange(base, base + m_i, dtype=np.int64))
-            placements.append((tile_cursor, blk))
-            tile_cursor += ntiles
+            ntiles = _round_up(max(m_i, 1), B) // B
+            if greedy and ntiles == 1 and offset + m_i <= B and m_i > 0:
+                placements.append((tile_cursor, offset, blk))
+                base = tile_cursor * B + offset
+                flat_idx_parts.append(np.arange(base, base + m_i, dtype=np.int64))
+                offset += m_i
+                if offset == B:
+                    tile_cursor += 1
+                    offset = 0
+            else:
+                if offset > 0:
+                    tile_cursor += 1
+                    offset = 0
+                n_bands = max(n_bands, ntiles - 1)
+                placements.append((tile_cursor, 0, blk))
+                base = tile_cursor * B
+                flat_idx_parts.append(np.arange(base, base + m_i, dtype=np.int64))
+                tile_cursor += ntiles
             c_size += m_i
         chrom_sizes.append(c_size)
-        chrom_block_range.append((c_first_tile, tile_cursor))
+        c_last_tile = tile_cursor + (1 if offset > 0 else 0)
+        chrom_block_range.append((c_first_tile, c_last_tile))
 
-    nb = tile_cursor
+    nb = tile_cursor + (1 if offset > 0 else 0)
     layout = BlockLayout(chromosomes=chroms,
                          chrom_sizes=chrom_sizes,
                          chrom_block_range=chrom_block_range,
@@ -184,9 +202,12 @@ def pack_dense_blocks(chrom_blocks: dict,
     diag = np.zeros((nb, B, B), dtype=store_dtype)
     off = np.zeros((max(n_bands, 0), nb, B, B), dtype=store_dtype)
 
-    for tile_start, blk in placements:
+    for tile_start, o, blk in placements:
         m_i = blk.shape[0]
         src = quantize_int8(blk) if quantize else blk.astype(dtype)
+        if o > 0 or m_i <= B - o:
+            diag[tile_start, o:o + m_i, o:o + m_i] = src
+            continue
         ntiles = _round_up(m_i, B) // B
         for ti in range(ntiles):
             r0, r1 = ti * B, min((ti + 1) * B, m_i)

@@ -1,0 +1,168 @@
+"""Blocked CAVI sweep for the sparse Gaussian-mixture prior (VIPRSMix).
+
+TPU re-design of ``e_step_mixture`` (viprs/model/vi/e_step.hpp:447-551): K slab
+components ride a leading axis of the variational state; per tile, the K+1
+component logits (K slabs + null) go through a softmax, the scalar eta update
+feeds the same MXU rank-T q-update as the spike-and-slab kernel.
+
+State layout: gamma/mu are (K, NB, B); eta/q are (NB, B). Hyperparameters:
+sigma_eps/lambda_min scalars, tau_beta/pi are (K,) vectors.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .block_ld import BlockLD
+from .cavi_jax import _dequant_matmul, _off_contrib
+
+F32 = jnp.float32
+
+
+class MixState(NamedTuple):
+    gamma: jnp.ndarray   # (K, NB, B) responsibilities of the slab components
+    mu: jnp.ndarray      # (K, NB, B)
+    eta: jnp.ndarray     # (NB, B)
+    q: jnp.ndarray       # (NB, B)
+
+
+class MixHyper(NamedTuple):
+    sigma_eps: jnp.ndarray    # scalar
+    tau_beta: jnp.ndarray     # (K,)
+    pi: jnp.ndarray           # (K,)
+    lambda_min: jnp.ndarray   # scalar
+
+
+def compute_q_mix(ld: BlockLD, eta):
+    """q = (R - I) eta for (NB, B) eta."""
+    from .cavi_jax import compute_q
+    return compute_q(ld, eta[None])[0]
+
+
+def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
+                         hyper: MixHyper, scale, tile, n_tiles):
+    """gamma_b/mu_b: (K, B); eta_b/q_b: (B,); D_b: (B, B)."""
+    K = gamma_b.shape[0]
+    sig_e = hyper.sigma_eps
+    tau_b = hyper.tau_beta[:, None]          # (K,1)
+    lam = hyper.lambda_min
+    pi_ = hyper.pi[:, None]
+    # reference formula (VIPRSMix.py:196-204): log pi_k - log(1-pi_k) + log(tau_k)/2
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+    log_null_pi = jnp.log1p(-jnp.sum(hyper.pi))
+
+    def body(t, carry):
+        gamma_b, mu_b, eta_b, q_b = carry
+        idx = t * tile
+
+        q_t = lax.dynamic_slice(q_b, (idx,), (tile,))
+        eta_t = lax.dynamic_slice(eta_b, (idx,), (tile,))
+        n_t = lax.dynamic_slice(n_b, (idx,), (tile,))[None, :]
+        beta_t = lax.dynamic_slice(beta_b, (idx,), (tile,))[None, :]
+        mask_t = lax.dynamic_slice(mask_b, (idx,), (tile,))
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b          # (K,T)
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+        mu_new = mu_mult_t * (beta_t - q_t[None, :])           # (K,T)
+        u = base_logit - 0.5 * jnp.log(var_tau_t) \
+            + 0.5 * var_tau_t * mu_new * mu_new                # (K,T)
+
+        # softmax over K slabs + the null component:
+        u_max = jnp.maximum(jnp.max(u, axis=0), log_null_pi)   # (T,)
+        exp_u = jnp.exp(u - u_max[None, :])
+        denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
+        g_new = exp_u / denom[None, :]                         # (K,T)
+
+        d_t = (jnp.sum(g_new * mu_new, axis=0) - eta_t) * mask_t  # (T,)
+
+        gamma_b = lax.dynamic_update_slice(gamma_b, g_new, (0, idx))
+        mu_b = lax.dynamic_update_slice(mu_b, mu_new, (0, idx))
+        eta_b = lax.dynamic_update_slice(eta_b, eta_t + d_t, (idx,))
+
+        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
+        q_b = q_b + _dequant_matmul(d_t[None, :], D_rows, scale)[0]
+        q_tt = lax.dynamic_slice(q_b, (idx,), (tile,))
+        q_b = lax.dynamic_update_slice(q_b, q_tt - d_t, (idx,))
+
+        return gamma_b, mu_b, eta_b, q_b
+
+    return lax.fori_loop(0, n_tiles, body, (gamma_b, mu_b, eta_b, q_b))
+
+
+@partial(jax.jit, static_argnames=('tile',))
+def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
+                       hyper: MixHyper, tile: int = 128):
+    """One mixture-CAVI sweep. Returns (new_state, eta_diff)."""
+    B = ld.block_size
+    assert B % tile == 0
+    n_tiles = B // tile
+    eta0 = state.eta
+
+    def per_block(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b):
+        return _mix_block_tile_loop(D_b, beta_b, n_b, mask_b,
+                                    gamma_b, mu_b, eta_b, q_b,
+                                    hyper, ld.scale, tile, n_tiles)
+
+    gamma, mu, eta, q = jax.vmap(
+        per_block,
+        in_axes=(0, 0, 0, 0, 1, 1, 0, 0),
+        out_axes=(1, 1, 0, 0),
+    )(ld.diag, std_beta, n_per_snp, ld.mask, state.gamma, state.mu,
+      state.eta, state.q)
+
+    eta_diff = eta - eta0
+    if ld.n_bands > 0:
+        q = q + _off_contrib(ld, eta_diff[None])[0]
+
+    return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
+
+
+def mix_var_tau(n_per_snp, hyper: MixHyper):
+    """(K, NB, B) posterior precisions with the e-step hyperparameters."""
+    return (n_per_snp[None] * (1.0 + hyper.lambda_min) / hyper.sigma_eps
+            + hyper.tau_beta[:, None, None])
+
+
+def mix_stats(state: MixState, var_tau, std_beta, mask):
+    """Masked reductions used by the mixture M-step/ELBO, all float64.
+
+    Returns dict with per-component (K,) and scalar reductions.
+    """
+    g = state.gamma
+    mk = mask[None]
+    zeta_k = g * (state.mu ** 2 + 1.0 / var_tau)            # (K,NB,B)
+
+    def rsum(x, axes):
+        return jnp.sum(jnp.sum(x, axis=-1).astype(jnp.float64), axis=axes)
+
+    sum_gamma_k = rsum(g * mk, (-1,))                        # (K,)
+    sum_zeta_k = rsum(zeta_k * mk, (-1,))                    # (K,)
+    sum_q_eta = jnp.sum(jnp.sum(state.q * state.eta * mask, axis=-1)
+                        .astype(jnp.float64))
+    sum_beta_eta = jnp.sum(jnp.sum(std_beta * state.eta * mask, axis=-1)
+                           .astype(jnp.float64))
+    sum_eta_sq = jnp.sum(jnp.sum(state.eta ** 2 * mask, axis=-1)
+                         .astype(jnp.float64))
+
+    eps = 1e-12
+    g64 = g.astype(jnp.float64)
+    pip = jnp.clip(jnp.sum(g64, axis=0), eps, 1.0 - eps)
+    null_g = 1.0 - pip
+    gc = jnp.clip(g64, eps, 1.0 - eps)
+    sum_g_logg = jnp.sum(jnp.sum(gc * jnp.log(gc) * mask[None], axis=-1)
+                         .astype(jnp.float64))
+    sum_ng_logng = jnp.sum(jnp.sum(jnp.clip(null_g, eps, 1 - eps)
+                                   * jnp.log(jnp.clip(null_g, eps, 1 - eps))
+                                   * mask, axis=-1).astype(jnp.float64))
+    sum_null_g = jnp.sum(jnp.sum(null_g * mask, axis=-1).astype(jnp.float64))
+    sum_g_logvt = jnp.sum(jnp.sum(g * jnp.log(var_tau) * mk, axis=-1)
+                          .astype(jnp.float64), axis=-1)     # (K,)
+
+    return dict(sum_gamma_k=sum_gamma_k, sum_zeta_k=sum_zeta_k,
+                sum_q_eta=sum_q_eta, sum_beta_eta=sum_beta_eta,
+                sum_eta_sq=sum_eta_sq, sum_g_logg=sum_g_logg,
+                sum_ng_logng=sum_ng_logng, sum_null_g=sum_null_g,
+                sum_g_logvt=sum_g_logvt)

@@ -143,3 +143,30 @@ def mse(stats: SweepStats, sigma_g):
 
 def heritability(sigma_g, sigma_eps):
     return sigma_g / (sigma_g + sigma_eps.astype(F64))
+
+
+def entropy(stats: SweepStats, m_total):
+    """Entropy of the variational distribution (VIPRS.py:583-612)."""
+    m_total = F64(m_total)
+    e = -stats.sum_g_logg - stats.sum_ng_logng - 0.5 * stats.sum_g_logvt
+    return 0.5 * m_total * (jnp.log(2.0 * jnp.pi) + 1.0) + e
+
+
+def log_prior(stats: SweepStats, hyper: Hyper, m_total):
+    """Expected log prior under the variational density (VIPRS.py:630-677)."""
+    m_total = F64(m_total)
+    tau_b = hyper.tau_beta.astype(F64)
+    pi = hyper.pi.astype(F64)
+    lp = 0.5 * stats.sum_gamma * jnp.log(tau_b)
+    lp = lp + stats.sum_gamma * jnp.log(pi)
+    lp = lp + (m_total - stats.sum_gamma) * jnp.log1p(-pi)
+    lp = lp - 0.5 * tau_b * stats.sum_zeta
+    return lp - 0.5 * m_total * jnp.log(2.0 * jnp.pi)
+
+
+def loglikelihood(stats: SweepStats, hyper: Hyper, sigma_g, n):
+    """Expected data log-likelihood (VIPRS.py:614-628)."""
+    sig_e = hyper.sigma_eps.astype(F64)
+    n = F64(n)
+    return -0.5 * n * (jnp.log(2.0 * jnp.pi * sig_e)
+                       + (1.0 / sig_e) * (1.0 - 2.0 * stats.sum_beta_eta + sigma_g))
