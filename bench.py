@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Genome-scale VIPRS fit benchmark on the real accelerator.
+
+Reproduces the reference's headline workload (BASELINE.md): a genome-wide EM
+fit over ~1.1M HapMap3-scale variants with block LD — 57.4 s wall-clock on the
+reference CPU implementation (viprs v0.1.2, 1 thread). Here the LD is
+synthesized analytically (AR(1) blocks at LDetect-like sizes, int8-quantized)
+with a spike-and-slab architecture, so the optimization workload matches the
+real one (same nnz(LD) touched per sweep, realistic convergence behavior).
+
+Prints exactly ONE JSON line:
+  {"metric": "genomewide_em_fit_seconds", "value": <steady-state fit seconds>,
+   "unit": "s", "vs_baseline": <57.4 / value>}
+Everything else goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 57.4  # reference genome-wide EM fit (BASELINE.md)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def synthesize_genome(m_target=1_100_000, n_gwas=350_000, h2=0.25,
+                      prop_causal=0.002, seed=0):
+    """Analytic genome-scale problem: AR(1) LD blocks + spike-slab sumstats.
+
+    For each block with parameter rho: R_ij = rho^|i-j| (exact correlation
+    matrix). Marginal betas: beta_hat = R beta + eps with eps an AR(1) process
+    scaled by 1/sqrt(n) — i.e. eps ~ N(0, R/n) exactly.
+    """
+    rng = np.random.default_rng(seed)
+
+    # LDetect-like block sizes per chromosome (22 chromosomes, mean ~650):
+    chrom_weights = np.linspace(2.0, 0.55, 22)
+    chrom_weights /= chrom_weights.sum()
+    blocks_per_chrom = {}
+    total = 0
+    for c in range(1, 23):
+        m_c = int(m_target * chrom_weights[c - 1])
+        sizes = []
+        while sum(sizes) < m_c:
+            sizes.append(int(np.clip(rng.lognormal(np.log(600), 0.5), 80, 3500)))
+        sizes[-1] -= sum(sizes) - m_c
+        if sizes[-1] < 40:
+            sizes.pop()
+        blocks_per_chrom[c] = sizes
+        total += sum(sizes)
+    log(f"synthesizing {total} variants in "
+        f"{sum(len(v) for v in blocks_per_chrom.values())} LD blocks")
+
+    ld_blocks, std_beta, n_per_snp = {}, {}, {}
+    for c, sizes in blocks_per_chrom.items():
+        blocks, sb_parts = [], []
+        for m_b in sizes:
+            rho = rng.uniform(0.2, 0.95)
+            # AR(1) correlation matrix (analytic, PSD):
+            idx = np.arange(m_b)
+            R = rho ** np.abs(idx[:, None] - idx[None, :])
+            blocks.append(R)
+
+            beta = np.where(rng.random(m_b) < prop_causal,
+                            rng.standard_normal(m_b) * np.sqrt(h2 / (prop_causal * total)),
+                            0.0)
+            # AR(1) noise with covariance R/n:
+            z = rng.standard_normal(m_b)
+            eps = np.empty(m_b)
+            eps[0] = z[0]
+            a = np.sqrt(1 - rho ** 2)
+            for i in range(1, m_b):
+                eps[i] = rho * eps[i - 1] + a * z[i]
+            sb_parts.append(R @ beta + eps / np.sqrt(n_gwas))
+        ld_blocks[c] = blocks
+        m_c = sum(sizes)
+        std_beta[c] = np.concatenate(sb_parts)
+        n_per_snp[c] = np.full(m_c, float(n_gwas))
+
+    return ld_blocks, std_beta, n_per_snp
+
+
+def main():
+    import viprs_tpu  # noqa: F401  (enables x64, honors JAX_PLATFORMS)
+    import jax
+    from viprs_tpu.data.dataset import SummaryStatsDataset
+    from viprs_tpu.model import VIPRS
+
+    m_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_100_000
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    ld_blocks, std_beta, n_per_snp = synthesize_genome(m_target=m_target)
+    log(f"synthesis: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    ds = SummaryStatsDataset.from_dense_blocks(
+        ld_blocks, std_beta, n_per_snp, block_size=1024, quantize=True)
+    log(f"packing: {time.time() - t0:.1f}s; NB={ds.layout.nb} "
+        f"B={ds.layout.block_size} n_bands={ds.ld.n_bands} M={ds.m} "
+        f"(padding overhead {ds.layout.m_padded / ds.m - 1:.1%})")
+
+    np.random.seed(0)
+    fit_kwargs = dict(max_iter=1000, f_abs_tol=1e-6, x_abs_tol=1e-6, patience=10)
+
+    # cold run (includes XLA compilation):
+    t0 = time.time()
+    model = VIPRS(ds)
+    model.fit(**fit_kwargs)
+    cold = time.time() - t0
+    log(f"cold fit (incl. compile): {cold:.2f}s; "
+        f"iters={model.optim_result.nit}; success={model.optim_result.success}; "
+        f"message={model.optim_result.message}; h2={model.get_heritability():.4f}; "
+        f"prop_causal={model.get_proportion_causal():.5f}")
+
+    # steady-state run (compilation cached):
+    np.random.seed(0)
+    t0 = time.time()
+    model2 = VIPRS(ds)
+    model2.fit(**fit_kwargs)
+    steady = time.time() - t0
+    n_iter = model2.optim_result.nit
+    log(f"steady-state fit: {steady:.2f}s over {n_iter} iterations "
+        f"({n_iter / steady:.1f} it/s genome-wide)")
+
+    assert model2.optim_result.valid_optim_result, model2.optim_result.message
+
+    print(json.dumps({
+        "metric": "genomewide_em_fit_seconds",
+        "value": round(steady, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / steady, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

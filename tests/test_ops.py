@@ -48,13 +48,15 @@ class TestPacking:
     def test_dense_roundtrip_single_band(self):
         blocks = [_rand_ld_block(100), _rand_ld_block(130)]
         ld, layout = pack_dense_blocks({1: blocks}, block_size=128)
-        assert ld.nb == 3 and ld.n_bands == 1  # 130 spans two tiles
+        assert ld.n_bands == 1  # the 130-variant block spans two tiles
         R = blockld_to_dense(ld)
-        # block 1 occupies rows 0..99; block 2 rows 128..257
-        np.testing.assert_allclose(R[:100, :100], blocks[0], atol=1e-6)
-        np.testing.assert_allclose(R[128:258, 128:258], blocks[1], atol=1e-6)
+        # locate each block via the layout's flat index mapping:
+        idx = layout.flat_index
+        i0, i1 = idx[:100], idx[100:230]
+        np.testing.assert_allclose(R[np.ix_(i0, i0)], blocks[0], atol=1e-6)
+        np.testing.assert_allclose(R[np.ix_(i1, i1)], blocks[1], atol=1e-6)
         # cross-LD-block entries are zero:
-        assert np.all(R[:128, 128:] == 0)
+        assert np.all(R[np.ix_(i0, i1)] == 0)
 
     def test_layout_scatter_gather(self):
         blocks = [_rand_ld_block(60), _rand_ld_block(70)]
@@ -152,11 +154,12 @@ class TestSweepParity:
         ld, layout = pack_dense_blocks({1: [R]}, block_size=B)
         state = make_state(pi0, ld.nb, B)
         hyper = make_hyper(sig_e, tau_b, pi0)
+        # relax=False: compare the raw tile schedule against the numpy mirror
         new_state, eta_diff = cavi_sweep(
             ld, state,
             jnp.asarray(sb.reshape(1, B), dtype=jnp.float32),
             jnp.asarray(npn.reshape(1, B), dtype=jnp.float32),
-            hyper, jnp.ones(1), tile=tile)
+            hyper, jnp.ones(1), tile=tile, relax=False)
 
         got_eta = np.asarray(new_state.eta).ravel()[:m]
         got_q = np.asarray(new_state.q).ravel()[:m]

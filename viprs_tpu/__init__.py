@@ -26,6 +26,19 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:  # pragma: no cover - backend already initialized
         pass
 
+# Persistent compilation cache: the fused EM loop costs ~1-2 min to compile on
+# TPU; caching it across processes makes repeated fits start instantly.
+if _os.environ.get("VIPRS_TPU_COMPILE_CACHE", "1") != "0":
+    try:
+        _cache_dir = _os.environ.get(
+            "VIPRS_TPU_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "viprs_tpu_jax"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
 __version__ = "0.1.0"
 
 def __getattr__(name):

@@ -120,19 +120,31 @@ class SummaryStatsDataset:
         return tables
 
     def compute_ld_scores(self):
-        """LD scores l_j = sum_k r_jk^2 from the blocked LD (for LDSC init)."""
+        """LD scores l_j = sum_k r_jk^2 from the blocked LD (for LDSC init).
+
+        Computed on device in float32 — the genome-scale LD store is GBs, so
+        a host float64 materialization would be prohibitive.
+        """
         if self.ld_scores is not None:
             return self.ld_scores
-        diag = np.asarray(self.ld.diag, dtype=np.float64) * self.ld.scale
-        scores_flat = (diag ** 2).sum(axis=2).reshape(-1)
-        off = np.asarray(self.ld.off, dtype=np.float64) * self.ld.scale
-        for k in range(self.ld.n_bands):
-            row_part = (off[k] ** 2).sum(axis=2).reshape(-1)   # rows b
-            col_part = (off[k] ** 2).sum(axis=1).reshape(-1)   # cols b+k+1
-            B = self.layout.block_size
-            scores_flat += row_part
-            shifted = np.zeros_like(col_part)
-            shifted[(k + 1) * B:] = col_part[:-(k + 1) * B]
-            scores_flat += shifted
-        self.ld_scores = self.layout.from_flat(scores_flat)
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _scores(diag, off):
+            scale2 = jnp.float32(self.ld.scale) ** 2
+
+            def sq_sum(x, axis):
+                xf = x.astype(jnp.float32)
+                return (xf * xf).sum(axis=axis) * scale2
+
+            scores = sq_sum(diag, 2)                       # (NB, B)
+            for k in range(off.shape[0]):
+                scores = scores + sq_sum(off[k], 2)        # row contributions
+                col_part = sq_sum(off[k], 1)               # cols of block b+k+1
+                scores = scores.at[k + 1:].add(col_part[:scores.shape[0] - k - 1])
+            return scores
+
+        scores = _scores(self.ld.diag, self.ld.off)
+        self.ld_scores = self.layout.from_flat(np.asarray(scores).reshape(-1))
         return self.ld_scores

@@ -339,10 +339,9 @@ class VIPRS(BayesPRSModel):
 
     # ------------------------------------------------------------- diagnostics
     def _stats(self):
-        h32 = self._hyper_f32()
-        var_tau = updates.compute_var_tau(self._n_flat, h32)
-        return updates.collect_stats(self._state, var_tau, self._std_beta_flat,
-                                     self.dataset.ld.mask)
+        return updates.stats_bundle(self._state, self._n_flat,
+                                    self._std_beta_flat, self.dataset.ld.mask,
+                                    self._hyper_f32())
 
     def elbo(self, sum_axis=None):
         stats = self._stats()

@@ -152,44 +152,63 @@ def pack_dense_blocks(chrom_blocks: dict,
     B = block_size
     chroms = sorted(chrom_blocks.keys())
 
-    # ---- compute layout: placements are (tile, offset, block) ----
+    # ---- compute layout ----
+    # greedy=True: best-fit-decreasing bin packing of LD blocks into B-tiles
+    # within each chromosome (placement order decoupled from variant order;
+    # BlockLayout.flat_index keeps the variant-order mapping exact).
     n_bands = 0
-    chrom_sizes, chrom_block_range, flat_idx_parts = [], [], []
-    tile_cursor, offset = 0, 0
-    placements = []
+    chrom_sizes, chrom_block_range = [], []
+    placements = []        # (tile, offset, block) in arbitrary order
+    flat_idx_by_block = {}  # (chrom, block_idx) -> flat index array
+    tile_cursor = 0
     for c in chroms:
-        if offset > 0:  # chromosomes start at fresh tiles
-            tile_cursor += 1
-            offset = 0
         c_first_tile = tile_cursor
-        c_size = 0
-        for blk in chrom_blocks[c]:
+        blocks = chrom_blocks[c]
+        c_size = sum(blk.shape[0] for blk in blocks)
+
+        order = range(len(blocks))
+        if greedy:
+            order = sorted(order, key=lambda i: -blocks[i].shape[0])
+        open_tiles = []  # list of [tile, used]
+
+        for bi in order:
+            blk = blocks[bi]
             m_i = blk.shape[0]
             assert blk.shape == (m_i, m_i)
             ntiles = _round_up(max(m_i, 1), B) // B
-            if greedy and ntiles == 1 and offset + m_i <= B and m_i > 0:
-                placements.append((tile_cursor, offset, blk))
-                base = tile_cursor * B + offset
-                flat_idx_parts.append(np.arange(base, base + m_i, dtype=np.int64))
-                offset += m_i
-                if offset == B:
-                    tile_cursor += 1
-                    offset = 0
-            else:
-                if offset > 0:
-                    tile_cursor += 1
-                    offset = 0
+            if ntiles > 1 or not greedy:
+                # multi-tile block: contiguous fresh tiles; tail stays open
                 n_bands = max(n_bands, ntiles - 1)
-                placements.append((tile_cursor, 0, blk))
-                base = tile_cursor * B
-                flat_idx_parts.append(np.arange(base, base + m_i, dtype=np.int64))
+                t0 = tile_cursor
+                placements.append((t0, 0, blk))
+                base = t0 * B
                 tile_cursor += ntiles
-            c_size += m_i
-        chrom_sizes.append(c_size)
-        c_last_tile = tile_cursor + (1 if offset > 0 else 0)
-        chrom_block_range.append((c_first_tile, c_last_tile))
+                if greedy and m_i % B:
+                    open_tiles.append([t0 + ntiles - 1, m_i % B])
+            else:
+                # best-fit: the open tile with the least remaining space that fits
+                best = None
+                for slot in open_tiles:
+                    rem = B - slot[1]
+                    if m_i <= rem and (best is None or rem < B - best[1]):
+                        best = slot
+                if best is None:
+                    best = [tile_cursor, 0]
+                    open_tiles.append(best)
+                    tile_cursor += 1
+                placements.append((best[0], best[1], blk))
+                base = best[0] * B + best[1]
+                best[1] += m_i
+            flat_idx_by_block[(c, bi)] = np.arange(base, base + m_i,
+                                                   dtype=np.int64)
 
-    nb = tile_cursor + (1 if offset > 0 else 0)
+        chrom_sizes.append(c_size)
+        chrom_block_range.append((c_first_tile, tile_cursor))
+
+    # flat indices in original variant order:
+    flat_idx_parts = [flat_idx_by_block[(c, bi)]
+                      for c in chroms for bi in range(len(chrom_blocks[c]))]
+    nb = tile_cursor
     layout = BlockLayout(chromosomes=chroms,
                          chrom_sizes=chrom_sizes,
                          chrom_block_range=chrom_block_range,

@@ -133,11 +133,24 @@ def refresh_q(ld: BlockLD, q, eta_diff):
 
 
 def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
-                     hyper: Hyper, active, scale, tile, damping, n_tiles):
+                     hyper: Hyper, active, scale, tile, n_tiles, relax):
     """Gauss-Seidel over tiles within one LD block.
 
+    Within a tile the T coordinates update jointly (Jacobi), which overshoots
+    when the gamma-weighted LD coupling exceeds 1 (e.g. clusters of highly
+    correlated variants with high inclusion probability — the same regime where
+    the reference's Hogwild threading oscillates, VIPRS.py:1056-1061). With
+    ``relax=True`` each coordinate takes an under-relaxed step
+
+        w_j = 1 / (1 + sum_{k in tile, k != j} |R_jk| gamma_k^*)
+
+    applied jointly to (gamma, mu) — the eta = gamma*mu invariant holds exactly
+    and the CAVI fixed point is unchanged; w ~= 1 wherever LD or gamma is small,
+    so well-conditioned problems pay nothing.
+
     D_b: (B, B) storage dtype; beta_b, n_b, mask_b: (B,);
-    logits_b, mu_b, eta_b, q_b: (S, B); active: (S,) f32; damping: scalar f32.
+    logits_b, mu_b, eta_b, q_b: (S, B); active: (S,) f32 (0 disables a model;
+    values < 1 act as extra global damping).
     """
     S = q_b.shape[0]
     sig_e = hyper.sigma_eps[:, None]          # (S,1)
@@ -146,6 +159,8 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
     # logit(pi) + 0.5*log(tau_beta); pi guarded away from {0,1} by the caller.
     pi_ = hyper.pi[:, None]
     base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+    act = active[:, None]
+    on = (active > 0.0).astype(F32)[:, None]
 
     def body(t, carry):
         logits_b, mu_b, eta_b, q_b = carry
@@ -156,19 +171,45 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
         n_t = lax.dynamic_slice(n_b, (idx,), (tile,))[None, :]
         beta_t = lax.dynamic_slice(beta_b, (idx,), (tile,))[None, :]
         mask_t = lax.dynamic_slice(mask_b, (idx,), (tile,))[None, :]
+        logits_t = lax.dynamic_slice(logits_b, (0, idx), (S, tile))
+        mu_t = lax.dynamic_slice(mu_b, (0, idx), (S, tile))
 
         var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
         mu_mult_t = n_t / (var_tau_t * sig_e)
-        mu_new = mu_mult_t * (beta_t - q_t)
-        u_new = base_logit - 0.5 * jnp.log(var_tau_t) + 0.5 * var_tau_t * mu_new * mu_new
+        mu_star = mu_mult_t * (beta_t - q_t)
+        u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
+            + 0.5 * var_tau_t * mu_star * mu_star
+        g_star = jax.nn.sigmoid(u_star)
 
-        g_new = jax.nn.sigmoid(u_new)
-        d_t = (g_new * mu_new - eta_t) * mask_t * active[:, None] * damping
+        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
+
+        if relax:
+            # gamma-weighted within-tile row dominance -> per-coordinate step:
+            R_tt = lax.dynamic_slice(D_rows, (0, idx),
+                                     (tile, tile)).astype(F32)
+            if scale != 1.0:
+                R_tt = R_tt * F32(scale)
+            coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), jnp.abs(R_tt),
+                               preferred_element_type=F32)
+            # remove the diagonal |R_jj| gamma_j contribution:
+            coupling = coupling - jnp.diagonal(jnp.abs(R_tt))[None, :] \
+                * g_star * jnp.abs(mu_mult_t)
+            w = act / (1.0 + coupling)
+        else:
+            w = act
+
+        g_t = jax.nn.sigmoid(logits_t)
+        g_new = g_t + w * (g_star - g_t)
+        mu_new = mu_t + w * (mu_star - mu_t)
+        eta_new = g_new * mu_new
+
+        d_t = (eta_new - eta_t) * mask_t * on
         keep = jnp.abs(d_t) >= ETA_DIFF_EPS
         d_t = jnp.where(keep, d_t, 0.0)
 
-        logits_t = lax.dynamic_slice(logits_b, (0, idx), (S, tile))
-        mu_t = lax.dynamic_slice(mu_b, (0, idx), (S, tile))
+        # carry logits for the damped gamma (stable logit of g_new):
+        u_new = jnp.log(jnp.clip(g_new, 1e-30, None)) \
+            - jnp.log1p(-jnp.clip(g_new, None, 1.0 - 1e-7))
         logits_b = lax.dynamic_update_slice(
             logits_b, jnp.where(keep, u_new, logits_t), (0, idx))
         mu_b = lax.dynamic_update_slice(
@@ -177,7 +218,6 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
 
         # Rank-T q update over the whole block: q_b += d_t @ R[tile_rows, :].
         # (R symmetric: row-slice == column-slice transposed.)
-        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
         q_b = q_b + _dequant_matmul(d_t, D_rows, scale)
         # The stored diagonal R_jj = 1 also updated q at the focal variants;
         # q excludes the diagonal, so correct it (cf. e_step.hpp:423-428).
@@ -189,9 +229,10 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
     return lax.fori_loop(0, n_tiles, body, (logits_b, mu_b, eta_b, q_b))
 
 
-@partial(jax.jit, static_argnames=('tile',))
+@partial(jax.jit, static_argnames=('tile', 'relax'))
 def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
-               hyper: Hyper, active, damping=1.0, tile: int = 128):
+               hyper: Hyper, active, damping=1.0, tile: int = 128,
+               relax: bool = True):
     """One full CAVI e-step sweep over all blocks and models.
 
     :param ld: BlockLD operator.
@@ -200,9 +241,12 @@ def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
     :param n_per_snp: (NB, B) per-variant GWAS sample sizes.
     :param hyper: per-model hyperparameters, (S,) float32 each.
     :param active: (S,) float32 — 1.0 for models still being optimized
-        (the vmapped analog of ``active_model_idx``, e_step.hpp:606-634).
-    :param damping: scalar step damping (1.0 = undamped; the deterministic
-        analog of the reference's oscillation-triggered thread backoff).
+        (the vmapped analog of ``active_model_idx``, e_step.hpp:606-634);
+        fractional values act as global damping on top of ``relax``.
+    :param damping: scalar or (S,) extra step damping (the deterministic analog
+        of the reference's oscillation-triggered thread backoff).
+    :param relax: enable gamma-weighted per-coordinate under-relaxation within
+        tiles (see _block_tile_loop); disable only for schedule-parity tests.
     :returns: (new_state, eta_diff) where eta_diff = eta_new - eta_old.
     """
     B = ld.block_size
@@ -210,13 +254,12 @@ def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
     n_tiles = B // tile
     eta0 = state.eta
 
-    damping = F32(damping)
-    active = active.astype(F32)
+    active = active.astype(F32) * (jnp.ones_like(active, F32) * damping)
 
     def per_block(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b):
         return _block_tile_loop(D_b, beta_b, n_b, mask_b,
                                 logits_b, mu_b, eta_b, q_b,
-                                hyper, active, ld.scale, tile, damping, n_tiles)
+                                hyper, active, ld.scale, tile, n_tiles, relax)
 
     logits, mu, eta, q = jax.vmap(
         per_block,

@@ -128,7 +128,7 @@ def em_fit(ld: BlockLD,
 
         # ---- E-step ----
         state, eta_diff = cavi_sweep(ld, c.state, std_beta, n_per_snp,
-                                     h32, act_f, damping=1.0, tile=tile)
+                                     h32, act_f, tile=tile)
 
         # ---- reductions with e-step hyperparameters ----
         var_tau = updates.compute_var_tau(n_per_snp, h32)

@@ -170,3 +170,17 @@ def loglikelihood(stats: SweepStats, hyper: Hyper, sigma_g, n):
     n = F64(n)
     return -0.5 * n * (jnp.log(2.0 * jnp.pi * sig_e)
                        + (1.0 / sig_e) * (1.0 - 2.0 * stats.sum_beta_eta + sigma_g))
+
+
+@jax.jit
+def collect_stats_jit(state, var_tau, std_beta, mask):
+    """Jitted collect_stats — one dispatch instead of ~25 eager ops (matters on
+    high-latency device transports)."""
+    return collect_stats(state, var_tau, std_beta, mask)
+
+
+@jax.jit
+def stats_bundle(state, n_per_snp, std_beta, mask, hyper: Hyper):
+    """One-dispatch computation of var_tau + SweepStats from raw inputs."""
+    var_tau = compute_var_tau(n_per_snp, hyper)
+    return collect_stats(state, var_tau, std_beta, mask)
