@@ -101,7 +101,7 @@ def main():
     ds = SummaryStatsDataset.from_dense_blocks(
         ld_blocks, std_beta, n_per_snp, block_size=1024, quantize=True)
     log(f"packing: {time.time() - t0:.1f}s; NB={ds.layout.nb} "
-        f"B={ds.layout.block_size} n_bands={ds.ld.n_bands} M={ds.m} "
+        f"B={ds.layout.block_size} n_off={ds.ld.n_off} M={ds.m} "
         f"(padding overhead {ds.layout.m_padded / ds.m - 1:.1%})")
 
     np.random.seed(0)

@@ -48,7 +48,7 @@ class TestPacking:
     def test_dense_roundtrip_single_band(self):
         blocks = [_rand_ld_block(100), _rand_ld_block(130)]
         ld, layout = pack_dense_blocks({1: blocks}, block_size=128)
-        assert ld.n_bands == 1  # the 130-variant block spans two tiles
+        assert ld.n_off >= 1  # the 130-variant block spans two tiles
         R = blockld_to_dense(ld)
         # locate each block via the layout's flat index mapping:
         idx = layout.flat_index
@@ -95,7 +95,7 @@ class TestPacking:
             left.append(lo)
         ld, layout = pack_banded({1: (np.array(data), np.array(indptr), np.array(left))},
                                  block_size=128)
-        assert ld.n_bands == 1
+        assert ld.n_off >= 1  # the 130-variant block spans two tiles
         R = blockld_to_dense(ld)
         np.testing.assert_allclose(R[:m, :m], R_band, atol=1e-6)
 
@@ -154,12 +154,13 @@ class TestSweepParity:
         ld, layout = pack_dense_blocks({1: [R]}, block_size=B)
         state = make_state(pi0, ld.nb, B)
         hyper = make_hyper(sig_e, tau_b, pi0)
-        # relax=False: compare the raw tile schedule against the numpy mirror
+        # relax=False, inner_steps=1: compare the raw tile schedule against
+        # the numpy mirror
         new_state, eta_diff = cavi_sweep(
             ld, state,
             jnp.asarray(sb.reshape(1, B), dtype=jnp.float32),
             jnp.asarray(npn.reshape(1, B), dtype=jnp.float32),
-            hyper, jnp.ones(1), tile=tile, relax=False)
+            hyper, jnp.ones(1), tile=tile, relax=False, inner_steps=1)
 
         got_eta = np.asarray(new_state.eta).ravel()[:m]
         got_q = np.asarray(new_state.q).ravel()[:m]

@@ -131,7 +131,7 @@ class SummaryStatsDataset:
         import jax.numpy as jnp
 
         @jax.jit
-        def _scores(diag, off):
+        def _scores(diag, off_data, off_src, off_dst):
             scale2 = jnp.float32(self.ld.scale) ** 2
 
             def sq_sum(x, axis):
@@ -139,12 +139,12 @@ class SummaryStatsDataset:
                 return (xf * xf).sum(axis=axis) * scale2
 
             scores = sq_sum(diag, 2)                       # (NB, B)
-            for k in range(off.shape[0]):
-                scores = scores + sq_sum(off[k], 2)        # row contributions
-                col_part = sq_sum(off[k], 1)               # cols of block b+k+1
-                scores = scores.at[k + 1:].add(col_part[:scores.shape[0] - k - 1])
+            if off_data.shape[0]:
+                scores = scores.at[off_src].add(sq_sum(off_data, 2))
+                scores = scores.at[off_dst].add(sq_sum(off_data, 1))
             return scores
 
-        scores = _scores(self.ld.diag, self.ld.off)
+        scores = _scores(self.ld.diag, self.ld.off_data,
+                         self.ld.off_src, self.ld.off_dst)
         self.ld_scores = self.layout.from_flat(np.asarray(scores).reshape(-1))
         return self.ld_scores

@@ -114,18 +114,20 @@ class VIPRS(BayesPRSModel):
         ld = self.dataset.ld
         diag = np.asarray(ld.diag, dtype=np.float64) * ld.scale
         min_eig = 0.0
-        if ld.n_bands == 0:
+        if ld.n_off == 0:
             for b in range(ld.nb):
                 w = np.linalg.eigvalsh(diag[b])
                 min_eig = min(min_eig, float(w[0]))
         else:
-            # banded: use a cheap Gershgorin-style lower bound per row
-            off = np.asarray(ld.off, dtype=np.float64) * ld.scale
-            row_abs = np.abs(diag).sum(axis=2) - np.abs(np.diagonal(diag, axis1=1, axis2=2))
-            for k in range(ld.n_bands):
-                row_abs += np.abs(off[k]).sum(axis=2)
-                col_abs = np.abs(off[k]).sum(axis=1)
-                row_abs[k + 1:] += col_abs[:ld.nb - k - 1]
+            # coupled tiles: Gershgorin-style lower bound per row
+            off = np.asarray(ld.off_data, dtype=np.float64) * ld.scale
+            src_i = np.asarray(ld.off_src)
+            dst_i = np.asarray(ld.off_dst)
+            row_abs = np.abs(diag).sum(axis=2) \
+                - np.abs(np.diagonal(diag, axis1=1, axis2=2))
+            for o in range(ld.n_off):
+                row_abs[src_i[o]] += np.abs(off[o]).sum(axis=1)
+                row_abs[dst_i[o]] += np.abs(off[o]).sum(axis=0)
             min_eig = min(0.0, float((1.0 - row_abs).min()))
         return abs(min(0.0, min_eig))
 

@@ -4,15 +4,17 @@ The reference stores LD as banded CSR-like arrays ``{ld_data, ld_indptr,
 ld_left_bound}`` (viprs/model/VIPRS.py:147-207, magenpy LDMatrix). On TPU, LD lives
 as dense (B x B) tiles so that the CAVI rank-updates become MXU matmuls:
 
-- ``diag[b]``   = R[bB:(b+1)B, bB:(b+1)B]                (NB, B, B)
-- ``off[k][b]`` = R[bB:(b+1)B, (b+k+1)B:(b+k+2)B]        (n_bands, NB, B, B)
+- ``diag[b]`` = R[bB:(b+1)B, bB:(b+1)B]  — (NB, B, B) diagonal tiles;
+- ``off_data[o]`` = R[src_o B:(src_o+1)B, dst_o B:(dst_o+1)B] — a *compact* list
+  of the non-zero inter-tile coupling blocks (upper triangle: src < dst), with
+  index vectors ``off_src``/``off_dst``. Only LD blocks wider than B produce
+  coupling tiles, so this list is short and the common block-diagonal case pays
+  nothing for it.
 
-R is symmetric, so sub-diagonal blocks are transposes of ``off``. int8 storage with a
-global dequantization ``scale`` reproduces the reference's int8 quantized stores with
-dequantize-on-the-fly (``dq_scale``, e_step.hpp / VIPRS.py:201-207).
-
-``n_bands = 0`` represents block-diagonal LD (LDetect blocks) exactly — the
-production default. Banded LD with bandwidth W is exact when ``n_bands >= ceil(W/B)``.
+R is symmetric, so sub-diagonal couplings are transposes of ``off_data``. int8
+storage with a global dequantization ``scale`` reproduces the reference's int8
+quantized stores with dequantize-on-the-fly (``dq_scale``, e_step.hpp /
+VIPRS.py:201-207).
 """
 
 import dataclasses
@@ -28,21 +30,25 @@ INT8_SCALE = 1.0 / 127.0
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=['diag', 'off', 'mask'],
+         data_fields=['diag', 'off_data', 'off_src', 'off_dst', 'mask'],
          meta_fields=['scale'])
 @dataclasses.dataclass(frozen=True)
 class BlockLD:
-    """Device-side block-banded LD operator.
+    """Device-side blocked LD operator.
 
-    :ivar diag: (NB, B, B) diagonal blocks (int8 or float).
-    :ivar off: (n_bands, NB, B, B) super-diagonal coupling blocks. For
-        ``n_bands == 0`` this is a (0, NB, B, B)-shaped placeholder.
+    :ivar diag: (NB, B, B) diagonal tiles (int8 or float).
+    :ivar off_data: (n_off, B, B) compact inter-tile coupling blocks
+        (upper triangle; (0, B, B)-shaped when there is no coupling).
+    :ivar off_src: (n_off,) int32 — row-tile index of each coupling block.
+    :ivar off_dst: (n_off,) int32 — column-tile index (src < dst).
     :ivar mask: (NB, B) float32 — 1.0 for real variant lanes, 0.0 for padding.
-    :ivar scale: static python float — dequantization multiplier applied to both
-        diag and off when accumulating (1.0 for float storage).
+    :ivar scale: static python float — dequantization multiplier applied to
+        all tiles when accumulating (1.0 for float storage).
     """
     diag: jnp.ndarray
-    off: jnp.ndarray
+    off_data: jnp.ndarray
+    off_src: jnp.ndarray
+    off_dst: jnp.ndarray
     mask: jnp.ndarray
     scale: float
 
@@ -55,8 +61,8 @@ class BlockLD:
         return self.diag.shape[1]
 
     @property
-    def n_bands(self) -> int:
-        return self.off.shape[0]
+    def n_off(self) -> int:
+        return self.off_data.shape[0]
 
     @property
     def m_padded(self) -> int:
@@ -68,10 +74,27 @@ class BlockLD:
             return self
         if jnp.issubdtype(dtype, jnp.integer):
             raise ValueError("Re-quantization not supported here; build from source data.")
-        new_scale = 1.0
         diag = (self.diag.astype(dtype) * self.scale).astype(dtype)
-        off = (self.off.astype(dtype) * self.scale).astype(dtype)
-        return BlockLD(diag=diag, off=off, mask=self.mask, scale=new_scale)
+        off_data = (self.off_data.astype(dtype) * self.scale).astype(dtype)
+        return BlockLD(diag=diag, off_data=off_data, off_src=self.off_src,
+                       off_dst=self.off_dst, mask=self.mask, scale=1.0)
+
+
+def make_block_ld(diag, off_tiles, mask, scale):
+    """Assemble a BlockLD from a {(src, dst): (B, B) array} coupling dict."""
+    items = sorted(off_tiles.items())
+    if items:
+        off_data = np.stack([v for _, v in items])
+        off_src = np.asarray([k[0] for k, _ in items], np.int32)
+        off_dst = np.asarray([k[1] for k, _ in items], np.int32)
+    else:
+        B = diag.shape[1]
+        off_data = np.zeros((0, B, B), dtype=diag.dtype)
+        off_src = np.zeros(0, np.int32)
+        off_dst = np.zeros(0, np.int32)
+    return BlockLD(diag=jnp.asarray(diag), off_data=jnp.asarray(off_data),
+                   off_src=jnp.asarray(off_src), off_dst=jnp.asarray(off_dst),
+                   mask=jnp.asarray(mask), scale=scale)
 
 
 @dataclasses.dataclass
@@ -156,7 +179,6 @@ def pack_dense_blocks(chrom_blocks: dict,
     # greedy=True: best-fit-decreasing bin packing of LD blocks into B-tiles
     # within each chromosome (placement order decoupled from variant order;
     # BlockLayout.flat_index keeps the variant-order mapping exact).
-    n_bands = 0
     chrom_sizes, chrom_block_range = [], []
     placements = []        # (tile, offset, block) in arbitrary order
     flat_idx_by_block = {}  # (chrom, block_idx) -> flat index array
@@ -178,7 +200,6 @@ def pack_dense_blocks(chrom_blocks: dict,
             ntiles = _round_up(max(m_i, 1), B) // B
             if ntiles > 1 or not greedy:
                 # multi-tile block: contiguous fresh tiles; tail stays open
-                n_bands = max(n_bands, ntiles - 1)
                 t0 = tile_cursor
                 placements.append((t0, 0, blk))
                 base = t0 * B
@@ -219,38 +240,37 @@ def pack_dense_blocks(chrom_blocks: dict,
     # ---- fill tiles ----
     store_dtype = np.int8 if quantize else dtype
     diag = np.zeros((nb, B, B), dtype=store_dtype)
-    off = np.zeros((max(n_bands, 0), nb, B, B), dtype=store_dtype)
+    off_tiles = {}
 
     for tile_start, o, blk in placements:
         m_i = blk.shape[0]
-        src = quantize_int8(blk) if quantize else blk.astype(dtype)
+        vals = quantize_int8(blk) if quantize else blk.astype(dtype)
         if o > 0 or m_i <= B - o:
-            diag[tile_start, o:o + m_i, o:o + m_i] = src
+            diag[tile_start, o:o + m_i, o:o + m_i] = vals
             continue
         ntiles = _round_up(m_i, B) // B
         for ti in range(ntiles):
             r0, r1 = ti * B, min((ti + 1) * B, m_i)
-            diag[tile_start + ti, :r1 - r0, :r1 - r0] = src[r0:r1, r0:r1]
+            diag[tile_start + ti, :r1 - r0, :r1 - r0] = vals[r0:r1, r0:r1]
             for k in range(ti + 1, ntiles):
                 c0, c1 = k * B, min((k + 1) * B, m_i)
-                off[k - ti - 1, tile_start + ti, :r1 - r0, :c1 - c0] = src[r0:r1, c0:c1]
+                key = (tile_start + ti, tile_start + k)
+                tileblk = off_tiles.setdefault(
+                    key, np.zeros((B, B), dtype=store_dtype))
+                tileblk[:r1 - r0, :c1 - c0] = vals[r0:r1, c0:c1]
 
     scale = INT8_SCALE if quantize else 1.0
-    ld = BlockLD(diag=jnp.asarray(diag),
-                 off=jnp.asarray(off),
-                 mask=jnp.asarray(layout.mask()),
-                 scale=scale)
+    ld = make_block_ld(diag, off_tiles, layout.mask(), scale)
     return ld, layout
 
 
 def pack_banded(chrom_banded: dict,
                 block_size: int = 1024,
                 dtype=np.float32,
-                quantize: bool = False,
-                n_bands: Optional[int] = None):
+                quantize: bool = False):
     """Pack per-chromosome *banded* LD (the reference's on-disk layout:
     ``{data, indptr, left_bound}`` with symmetric rows, VIPRS.py:167-172) into
-    block-banded tiles. Exact when the bandwidth fits in ``n_bands`` blocks.
+    diagonal tiles + compact coupling tiles (exact for any bandwidth).
 
     :param chrom_banded: {chrom: (data, indptr, left_bound)} where row j of R holds
         ``data[indptr[j]:indptr[j+1]]`` starting at column ``left_bound[j]``.
@@ -280,8 +300,6 @@ def pack_banded(chrom_banded: dict,
         tile_cursor += ntiles
 
     nb = tile_cursor
-    if n_bands is None:
-        n_bands = (max_bw + B - 1) // B
     layout = BlockLayout(chromosomes=chroms, chrom_sizes=chrom_sizes,
                          chrom_block_range=chrom_block_range,
                          flat_index=np.concatenate(flat_idx_parts) if flat_idx_parts
@@ -290,7 +308,7 @@ def pack_banded(chrom_banded: dict,
 
     store_dtype = np.int8 if quantize else dtype
     diag = np.zeros((nb, B, B), dtype=store_dtype)
-    off = np.zeros((n_bands, nb, B, B), dtype=store_dtype)
+    off_tiles = {}
 
     for (c, (t0, t1)) in zip(chroms, chrom_block_range):
         data, indptr, left = chrom_banded[c]
@@ -315,15 +333,14 @@ def pack_banded(chrom_banded: dict,
             same = bc == bj
             diag[bj, oj, oc[same]] = row[same]
             diag[bj, oc[same], oj] = row[same]  # symmetric within tile
-            for k in range(1, n_bands + 1):
-                selk = bc == bj + k
-                if selk.any():
-                    off[k - 1, bj, oj, oc[selk]] = row[selk]
+            for b2 in np.unique(bc[~same]):
+                selk = bc == b2
+                tileblk = off_tiles.setdefault(
+                    (int(bj), int(b2)), np.zeros((B, B), dtype=store_dtype))
+                tileblk[oj, oc[selk]] = row[selk]
 
     scale = INT8_SCALE if quantize else 1.0
-
-    ld = BlockLD(diag=jnp.asarray(diag), off=jnp.asarray(off),
-                 mask=jnp.asarray(layout.mask()), scale=scale)
+    ld = make_block_ld(diag, off_tiles, layout.mask(), scale)
     return ld, layout
 
 
@@ -333,12 +350,13 @@ def blockld_to_dense(ld: BlockLD) -> np.ndarray:
     M = nb * B
     R = np.zeros((M, M), dtype=np.float64)
     diag = np.asarray(ld.diag, dtype=np.float64) * ld.scale
-    off = np.asarray(ld.off, dtype=np.float64) * ld.scale
+    off = np.asarray(ld.off_data, dtype=np.float64) * ld.scale
+    src_i = np.asarray(ld.off_src)
+    dst_i = np.asarray(ld.off_dst)
     for b in range(nb):
         R[b * B:(b + 1) * B, b * B:(b + 1) * B] = diag[b]
-        for k in range(ld.n_bands):
-            b2 = b + k + 1
-            if b2 < nb:
-                R[b * B:(b + 1) * B, b2 * B:(b2 + 1) * B] = off[k, b]
-                R[b2 * B:(b2 + 1) * B, b * B:(b + 1) * B] = off[k, b].T
+    for o in range(ld.n_off):
+        b, b2 = int(src_i[o]), int(dst_i[o])
+        R[b * B:(b + 1) * B, b2 * B:(b2 + 1) * B] = off[o]
+        R[b2 * B:(b2 + 1) * B, b * B:(b + 1) * B] = off[o].T
     return R

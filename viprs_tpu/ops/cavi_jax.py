@@ -77,32 +77,20 @@ def _dequant_matmul(d_t, rows, scale):
     return out
 
 
-def _shift_fwd(x, j):
-    """out[b] = x[b + j] along the block axis (axis 1 of (S, NB, B)); zero-pad."""
-    pad = jnp.zeros_like(x[:, :j])
-    return jnp.concatenate([x[:, j:], pad], axis=1)
-
-
-def _shift_bwd(x, j):
-    """out[b] = x[b - j] along the block axis; zero-pad."""
-    pad = jnp.zeros_like(x[:, :j])
-    return jnp.concatenate([pad, x[:, :-j]], axis=1)
-
-
 def _off_contrib(ld: BlockLD, v):
-    """Cross-block contribution sum_k (U_k @ v_{b+k+1} + U_k[b-k-1]^T @ v_{b-k-1}).
+    """Cross-tile contribution of the compact coupling blocks:
+    out[src_o] += U_o @ v[dst_o]; out[dst_o] += U_o^T @ v[src_o].
 
     v: (S, NB, B). Returns (S, NB, B).
     """
+    U = ld.off_data.astype(F32)                       # (n_off, B, B)
+    v_dst = jnp.take(v, ld.off_dst, axis=1)           # (S, n_off, B)
+    v_src = jnp.take(v, ld.off_src, axis=1)
+    row_part = jnp.einsum('oij,soj->soi', U, v_dst, preferred_element_type=F32)
+    col_part = jnp.einsum('oji,soj->soi', U, v_src, preferred_element_type=F32)
     out = jnp.zeros_like(v)
-    for k in range(ld.n_bands):
-        U = ld.off[k].astype(F32)  # (NB, B, B)
-        # rows b <- columns of block b+k+1
-        out = out + jnp.einsum('bij,sbj->sbi', U, _shift_fwd(v, k + 1),
-                               preferred_element_type=F32)
-        # rows b <- block b-k-1 via U^T
-        t = jnp.einsum('bji,sbj->sbi', U, v, preferred_element_type=F32)
-        out = out + _shift_bwd(t, k + 1)
+    out = out.at[:, ld.off_src].add(row_part)
+    out = out.at[:, ld.off_dst].add(col_part)
     if ld.scale != 1.0:
         out = out * F32(ld.scale)
     return out
@@ -118,22 +106,23 @@ def compute_q(ld: BlockLD, eta):
     if ld.scale != 1.0:
         q = q * F32(ld.scale)
     q = q - eta  # remove the unit diagonal
-    if ld.n_bands > 0:
+    if ld.n_off > 0:
         q = q + _off_contrib(ld, eta)
     return q
 
 
 def refresh_q(ld: BlockLD, q, eta_diff):
-    """Apply the cross-block (banded) part of the q update for this sweep's
-    total eta change. The in-block part was applied incrementally in the tile
-    loop. No-op for block-diagonal LD."""
-    if ld.n_bands == 0:
+    """Apply the cross-tile coupling part of the q update for this sweep's
+    total eta change. The in-tile part was applied incrementally in the tile
+    loop. No-op for block-diagonal LD (no coupling tiles)."""
+    if ld.n_off == 0:
         return q
     return q + _off_contrib(ld, eta_diff)
 
 
 def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
-                     hyper: Hyper, active, scale, tile, n_tiles, relax):
+                     hyper: Hyper, active, scale, tile, n_tiles, relax,
+                     inner_steps):
     """Gauss-Seidel over tiles within one LD block.
 
     Within a tile the T coordinates update jointly (Jacobi), which overshoots
@@ -176,34 +165,48 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
 
         var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
         mu_mult_t = n_t / (var_tau_t * sig_e)
-        mu_star = mu_mult_t * (beta_t - q_t)
-        u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
-            + 0.5 * var_tau_t * mu_star * mu_star
-        g_star = jax.nn.sigmoid(u_star)
 
         D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
+        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile)).astype(F32)
+        if scale != 1.0:
+            R_tt = R_tt * F32(scale)
+        R_abs = jnp.abs(R_tt)
+        R_abs_diag = jnp.diagonal(R_abs)[None, :]
 
-        if relax:
-            # gamma-weighted within-tile row dominance -> per-coordinate step:
-            R_tt = lax.dynamic_slice(D_rows, (0, idx),
-                                     (tile, tile)).astype(F32)
-            if scale != 1.0:
-                R_tt = R_tt * F32(scale)
-            coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), jnp.abs(R_tt),
-                               preferred_element_type=F32)
-            # remove the diagonal |R_jj| gamma_j contribution:
-            coupling = coupling - jnp.diagonal(jnp.abs(R_tt))[None, :] \
-                * g_star * jnp.abs(mu_mult_t)
-            w = act / (1.0 + coupling)
-        else:
-            w = act
+        # Inner fixed-point iterations on the tile: each pass recomputes the
+        # coordinate updates from a tile-locally refreshed q, converging toward
+        # the tile's joint CAVI fixed point (exact tile-level block-coordinate
+        # ascent in the limit). Iterations beyond the first touch only the
+        # (T, T) R_tt — ~T/B of the main matmul's cost.
+        g_cur = jax.nn.sigmoid(logits_t)
+        mu_cur = mu_t
+        eta_cur = eta_t
+        q_cur = q_t
+        for _ in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t - q_cur)
+            u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star
+            g_star = jax.nn.sigmoid(u_star)
+            if relax:
+                # gamma-weighted within-tile row dominance -> per-coord step:
+                coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), R_abs,
+                                   preferred_element_type=F32)
+                coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
+                w = act / (1.0 + coupling)
+            else:
+                w = act
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = g_cur * mu_cur
+            d_in = (eta_new - eta_cur) * mask_t * on
+            # refresh the local q for the next inner pass (within-tile only;
+            # discarded afterwards — the block-wide update uses d_t below):
+            q_cur = q_cur + jnp.dot(d_in, R_tt, preferred_element_type=F32) \
+                - d_in
+            eta_cur = eta_cur + d_in
 
-        g_t = jax.nn.sigmoid(logits_t)
-        g_new = g_t + w * (g_star - g_t)
-        mu_new = mu_t + w * (mu_star - mu_t)
-        eta_new = g_new * mu_new
-
-        d_t = (eta_new - eta_t) * mask_t * on
+        g_new, mu_new = g_cur, mu_cur
+        d_t = (eta_cur - eta_t) * mask_t * on
         keep = jnp.abs(d_t) >= ETA_DIFF_EPS
         d_t = jnp.where(keep, d_t, 0.0)
 
@@ -229,10 +232,10 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
     return lax.fori_loop(0, n_tiles, body, (logits_b, mu_b, eta_b, q_b))
 
 
-@partial(jax.jit, static_argnames=('tile', 'relax'))
+@partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
 def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                hyper: Hyper, active, damping=1.0, tile: int = 128,
-               relax: bool = True):
+               relax: bool = True, inner_steps: int = 2):
     """One full CAVI e-step sweep over all blocks and models.
 
     :param ld: BlockLD operator.
@@ -259,7 +262,8 @@ def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
     def per_block(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b):
         return _block_tile_loop(D_b, beta_b, n_b, mask_b,
                                 logits_b, mu_b, eta_b, q_b,
-                                hyper, active, ld.scale, tile, n_tiles, relax)
+                                hyper, active, ld.scale, tile, n_tiles, relax,
+                                inner_steps)
 
     logits, mu, eta, q = jax.vmap(
         per_block,

@@ -114,7 +114,7 @@ def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
       state.eta, state.q)
 
     eta_diff = eta - eta0
-    if ld.n_bands > 0:
+    if ld.n_off > 0:
         q = q + _off_contrib(ld, eta_diff[None])[0]
 
     return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff

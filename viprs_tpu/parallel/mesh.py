@@ -48,12 +48,11 @@ def pad_blocks(ld: BlockLD, multiple: int) -> BlockLD:
     pad = target - nb
     diag = jnp.concatenate(
         [ld.diag, jnp.zeros((pad,) + ld.diag.shape[1:], ld.diag.dtype)], axis=0)
-    off = jnp.concatenate(
-        [ld.off, jnp.zeros(ld.off.shape[:1] + (pad,) + ld.off.shape[2:],
-                           ld.off.dtype)], axis=1)
     mask = jnp.concatenate(
         [ld.mask, jnp.zeros((pad, ld.block_size), ld.mask.dtype)], axis=0)
-    return BlockLD(diag=diag, off=off, mask=mask, scale=ld.scale)
+    # coupling-tile indices remain valid (padding appends blocks at the end):
+    return BlockLD(diag=diag, off_data=ld.off_data, off_src=ld.off_src,
+                   off_dst=ld.off_dst, mask=mask, scale=ld.scale)
 
 
 def _pad_axis(x, axis, target):
@@ -90,7 +89,10 @@ def shard_problem(mesh: Mesh, ld: BlockLD, state: CaviState,
     sh = lambda spec: NamedSharding(mesh, spec)
     ld = BlockLD(
         diag=jax.device_put(ld.diag, sh(P('blocks', None, None))),
-        off=jax.device_put(ld.off, sh(P(None, 'blocks', None, None))),
+        # coupling tiles are few; replicate them (and their indices):
+        off_data=jax.device_put(ld.off_data, sh(P(None, None, None))),
+        off_src=jax.device_put(ld.off_src, sh(P(None))),
+        off_dst=jax.device_put(ld.off_dst, sh(P(None))),
         mask=jax.device_put(ld.mask, sh(P('blocks', None))),
         scale=ld.scale)
     state = CaviState(*(jax.device_put(x, sh(P('grid', 'blocks', None)))
