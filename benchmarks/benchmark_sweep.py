@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""E-step sweep microbenchmark harness.
+
+The analog of the reference's benchmarks/benchmark_e_step.py (which sweeps
+implementation x linalg x threads x precision x dequantization,
+SURVEY.md §6): here the dimensions are
+
+    impl        in {xla, pallas}
+    S           grid width (models fit simultaneously)
+    quantize    int8 vs float32 LD storage
+    tile        CAVI tile width
+    inner_steps tile-local refinement passes
+
+Reports per-configuration sweep time, iterations/s, and effective HBM
+bandwidth (LD bytes touched per sweep / time).
+
+Usage: python benchmarks/benchmark_sweep.py [m_variants] [--quick]
+"""
+
+import itertools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+
+def main():
+    import viprs_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    from viprs_tpu.ops.block_ld import pack_dense_blocks
+    from viprs_tpu.ops.cavi_jax import CaviState, Hyper, cavi_sweep
+    from viprs_tpu.ops.cavi_pallas import cavi_sweep_pallas
+
+    m_target = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 200_000
+    quick = '--quick' in sys.argv
+
+    # synthetic LDetect-like blocks:
+    rng = np.random.default_rng(0)
+    sizes = []
+    while sum(sizes) < m_target:
+        sizes.append(int(np.clip(rng.lognormal(np.log(600), 0.5), 80, 3000)))
+    blocks = []
+    for m_b in sizes:
+        rho = rng.uniform(0.2, 0.9)
+        idx = np.arange(m_b)
+        blocks.append(rho ** np.abs(idx[:, None] - idx[None, :]))
+    m = sum(sizes)
+    sb_np = rng.standard_normal(m) * 0.005
+    n_np = np.full(m, 3e5)
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"M={m} in {len(sizes)} blocks", file=sys.stderr)
+
+    def logit(p):
+        return float(np.log(p) - np.log1p(-p))
+
+    impls = {'xla': cavi_sweep,
+             'pallas': lambda ld, st, sb, nf, hy, act, **kw:
+                 cavi_sweep_pallas(ld, st, sb, nf, hy, act, **kw)}
+
+    configs = itertools.product(
+        ['xla', 'pallas'],
+        [1, 8] if quick else [1, 8, 32],
+        [True] if quick else [True, False],
+        [128],
+        [1, 2],
+    )
+
+    rows = []
+    packed = {}
+    for impl, S, quantize, tile, inner in configs:
+        if quantize not in packed:
+            packed[quantize] = pack_dense_blocks({1: blocks}, block_size=1024,
+                                                 quantize=quantize)
+        ld, lay = packed[quantize]
+        nb, B = lay.nb, lay.block_size
+        sb = jnp.asarray(lay.to_flat({1: sb_np}).reshape(nb, B), jnp.float32)
+        nf = jnp.asarray(lay.to_flat({1: n_np}).reshape(nb, B), jnp.float32)
+        state = CaviState(
+            logits=jnp.full((S, nb, B), np.float32(logit(0.01)), jnp.float32),
+            mu=jnp.zeros((S, nb, B), jnp.float32),
+            eta=jnp.zeros((S, nb, B), jnp.float32),
+            q=jnp.zeros((S, nb, B), jnp.float32))
+        hyper = Hyper(sigma_eps=jnp.full(S, 0.75, jnp.float32),
+                      tau_beta=jnp.full(S, 0.01 * m / 0.25, jnp.float32),
+                      pi=jnp.full(S, 0.01, jnp.float32),
+                      lambda_min=jnp.zeros(S, jnp.float32))
+        fn = impls[impl]
+        act = jnp.ones(S)
+
+        try:
+            out, _ = fn(ld, state, sb, nf, hyper, act, tile=tile,
+                        inner_steps=inner)
+            jax.block_until_ready(out.eta)
+            n_rep = 20
+            t0 = time.time()
+            cur = state
+            for _ in range(n_rep):
+                cur, _ = fn(ld, cur, sb, nf, hyper, act, tile=tile,
+                            inner_steps=inner)
+            jax.block_until_ready(cur.eta)
+            dt = (time.time() - t0) / n_rep
+        except Exception as e:
+            print(f"{impl} S={S} quant={quantize} tile={tile} inner={inner}: "
+                  f"FAILED ({type(e).__name__}: {e})", file=sys.stderr)
+            continue
+
+        ld_bytes = ld.diag.size * ld.diag.dtype.itemsize \
+            + ld.off_data.size * ld.off_data.dtype.itemsize
+        bw = ld_bytes / dt / 1e9
+        rows.append(dict(impl=impl, S=S, quantize=quantize, tile=tile,
+                         inner=inner, ms_per_sweep=dt * 1e3,
+                         sweeps_per_s=1.0 / dt, ld_gb_s=bw))
+        print(f"{impl:7s} S={S:3d} int8={quantize} tile={tile} inner={inner}: "
+              f"{dt*1e3:8.2f} ms/sweep  {1/dt:7.1f} sweep/s  "
+              f"LD-bw {bw:6.1f} GB/s", flush=True)
+
+    return rows
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,71 @@
+"""Pallas kernel parity vs the XLA sweep (runs in interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from viprs_tpu.ops.block_ld import pack_dense_blocks
+from viprs_tpu.ops.cavi_jax import CaviState, Hyper, cavi_sweep
+from viprs_tpu.data.simulate import simulate_sumstats_blocks
+
+
+def _logit(p):
+    return float(np.log(p) - np.log1p(-p))
+
+
+@pytest.fixture(scope='module')
+def problem():
+    sim = simulate_sumstats_blocks(n=2000, block_sizes=(150, 100), h2=0.3,
+                                   prop_causal=0.05, seed=5)
+    ld, lay = pack_dense_blocks(sim['ld_blocks'], block_size=128)
+    sb = jnp.asarray(lay.to_flat(sim['std_beta']).reshape(lay.nb, 128),
+                     jnp.float32)
+    nf = jnp.asarray(lay.to_flat(sim['n_per_snp']).reshape(lay.nb, 128),
+                     jnp.float32)
+    return ld, lay, sb, nf
+
+
+def _state_hyper(lay, S=2):
+    pis = np.geomspace(0.02, 0.1, S)
+    logits = jnp.stack([jnp.full((lay.nb, 128), np.float32(_logit(p)))
+                        for p in pis])
+    zeros = jnp.zeros((S, lay.nb, 128), jnp.float32)
+    state = CaviState(logits=logits, mu=zeros, eta=zeros, q=zeros)
+    hyper = Hyper(sigma_eps=jnp.full(S, 0.7, jnp.float32),
+                  tau_beta=jnp.full(S, 800.0, jnp.float32),
+                  pi=jnp.asarray(pis, jnp.float32),
+                  lambda_min=jnp.zeros(S, jnp.float32))
+    return state, hyper
+
+
+def test_pallas_matches_xla_interpret(problem, monkeypatch):
+    """The Pallas kernel must reproduce the XLA sweep (interpret mode on CPU)."""
+    from viprs_tpu.ops import cavi_pallas
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    state, hyper = _state_hyper(lay)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+    # re-trace with interpretation (bypass the jit cache):
+    out_p, diff_p = cavi_pallas.cavi_sweep_pallas.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.ones(2), tile=64)
+
+    out_x, diff_x = cavi_sweep(ld, state, sb, nf, hyper, jnp.ones(2), tile=64)
+
+    np.testing.assert_allclose(np.asarray(out_p.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.mu), np.asarray(out_x.mu),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(out_p.logits)),
+        np.asarray(jax.nn.sigmoid(out_x.logits)), atol=1e-5)

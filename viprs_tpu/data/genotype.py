@@ -161,7 +161,7 @@ class GenotypeMatrix:
     predict = score
 
     # -------------------------------------------------------------------- GWAS
-    def perform_gwas(self, phenotype, chunk=4096):
+    def perform_gwas(self, phenotype, chunk=4096):  # noqa: C901 (kept flat)
         """Marginal standardized regression per variant:
         beta_j = x_j' y / n with x, y standardized. Returns a SumstatsTable."""
         from .sumstats import SumstatsTable
@@ -184,3 +184,77 @@ class GenotypeMatrix:
         from scipy.stats import norm
         tab['P'] = 2 * norm.sf(np.abs(tab['Z']))
         return SumstatsTable(tab)
+
+
+class MultiGenotypeMatrix:
+    """Several BED filesets (e.g. one per chromosome) over the same samples,
+    presented with the single-fileset interface."""
+
+    def __init__(self, bed_prefixes, keep_samples=None, extract_snps=None):
+        self.parts = [GenotypeMatrix(p, keep_samples=keep_samples,
+                                     extract_snps=extract_snps)
+                      for p in bed_prefixes]
+        base_iids = self.parts[0].fam['IID'].tolist()
+        for p in self.parts[1:]:
+            assert p.fam['IID'].tolist() == base_iids, \
+                "All BED filesets must cover the same samples in the same order."
+        self.bim = pd.concat([p.bim for p in self.parts], ignore_index=True)
+        self.fam = self.parts[0].fam
+
+    @property
+    def n(self):
+        return self.parts[0].n
+
+    @property
+    def m(self):
+        return len(self.bim)
+
+    @property
+    def shape(self):
+        return (self.n, self.m)
+
+    @property
+    def chromosomes(self):
+        return sorted(self.bim['CHR'].unique())
+
+    def score(self, beta, standardize=True, chunk=4096):
+        if isinstance(beta, dict):
+            flat = []
+            for c in self.chromosomes:
+                b = np.asarray(beta[c])
+                flat.append(b.reshape(len(b), -1))
+            beta = np.concatenate(flat, axis=0)
+        else:
+            beta = np.asarray(beta).reshape(len(beta), -1)
+        assert beta.shape[0] == self.m
+        prs = 0.0
+        offset = 0
+        for p in self.parts:
+            prs = prs + np.atleast_2d(
+                p.score(beta[offset:offset + p.m], standardize=standardize,
+                        chunk=chunk).T).T
+            offset += p.m
+        return prs.squeeze()
+
+    predict = score
+
+    def perform_gwas(self, phenotype, chunk=4096):
+        from .sumstats import SumstatsTable
+        tables = [p.perform_gwas(phenotype, chunk=chunk).table
+                  for p in self.parts]
+        return SumstatsTable(pd.concat(tables, ignore_index=True))
+
+    def standardized(self, snp_indices=None):
+        raise NotImplementedError(
+            "Dense access across filesets is not supported; use the per-part "
+            "GenotypeMatrix objects (.parts).")
+
+
+def open_genotypes(bed_files, keep_samples=None, extract_snps=None):
+    """Open one or many BED filesets with a uniform interface."""
+    if isinstance(bed_files, (list, tuple)) and len(bed_files) > 1:
+        return MultiGenotypeMatrix(bed_files, keep_samples=keep_samples,
+                                   extract_snps=extract_snps)
+    prefix = bed_files[0] if isinstance(bed_files, (list, tuple)) else bed_files
+    return GenotypeMatrix(prefix, keep_samples=keep_samples,
+                          extract_snps=extract_snps)

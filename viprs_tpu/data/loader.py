@@ -78,12 +78,11 @@ class GWADataLoader:
         # ---------------- genotype ----------------
         self.genotype = None
         if bed_files:
-            beds = get_filenames(bed_files)
-            if len(beds) > 1:
-                raise NotImplementedError(
-                    "Multiple BED files per loader are not supported yet; "
-                    "pass one merged fileset or one per-chromosome loader.")
-            self.genotype = GenotypeMatrix(beds[0], keep_samples=keep_samples,
+            import re
+            from .genotype import open_genotypes
+            beds = sorted({re.sub(r'\.(bed|bim|fam)$', '', f)
+                           for f in get_filenames(bed_files)})
+            self.genotype = open_genotypes(beds, keep_samples=keep_samples,
                                            extract_snps=extract_snps)
 
         # ---------------- LD store ----------------

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for the blocked CAVI sweep.
+
+Fuses one e-step sweep into a single kernel: the grid iterates over LD blocks,
+Pallas' pipeline machinery streams each (B, B) int8 diagonal tile HBM -> VMEM
+(double-buffered) while the previous block computes; all per-block state
+(q, eta, logits, mu — (S, B) f32) lives in VMEM for the whole block; the
+tile-Gauss-Seidel loop runs MXU matmuls on (S, T) x (T, B) with in-register
+int8 dequantization.
+
+Math is identical to the XLA path (ops/cavi_jax.py:_block_tile_loop) —
+including the gamma-weighted under-relaxation and tile-local inner iterations —
+and is validated against it in tests/test_pallas.py.
+
+Cross-tile coupling blocks (ld.off_data) are applied outside the kernel by the
+caller (ops/cavi_jax.refresh_q), exactly as in the XLA path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .block_ld import BlockLD
+from .cavi_jax import CaviState, Hyper, refresh_q, ETA_DIFF_EPS
+
+F32 = jnp.float32
+
+
+def _eye(n):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(F32)
+
+
+def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
+                  diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
+                  logits_out, mu_out, eta_out, q_out,
+                  *, tile, n_tiles, scale, relax, inner_steps):
+    """One LD block. diag_ref: (1, B, B) storage dtype; state refs: (S, 1, B);
+    hyper_ref: (8, S) f32 rows [sigma_eps, tau_beta, pi, active, lambda_min]."""
+    sig_e = hyper_ref[0, :][:, None]          # (S, 1)
+    tau_b = hyper_ref[1, :][:, None]
+    pi_ = hyper_ref[2, :][:, None]
+    act = hyper_ref[3, :][:, None]
+    lam = hyper_ref[4, :][:, None]
+    on = (act > 0.0).astype(F32)
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    # start from the incoming state; the tile loop overwrites slices in place.
+    logits_out[:, 0, :] = logits_ref[:, 0, :]
+    mu_out[:, 0, :] = mu_ref[:, 0, :]
+    eta_out[:, 0, :] = eta_ref[:, 0, :]
+    q_out[:, 0, :] = q_ref[:, 0, :]
+
+    def body(t, _):
+        idx = t * tile
+        sl = pl.ds(idx, tile)
+        q_t = q_out[:, 0, sl]
+        eta_t = eta_out[:, 0, sl]
+        logits_t = logits_out[:, 0, sl]
+        mu_t = mu_out[:, 0, sl]
+        n_t = n_ref[0, sl][None, :]
+        beta_t = beta_ref[0, sl][None, :]
+        mask_t = mask_ref[0, sl][None, :]
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+
+        D_rows = diag_ref[0, sl, :].astype(F32)            # (T, B)
+        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile))
+        if scale != 1.0:
+            R_tt = R_tt * F32(scale)
+        R_abs = jnp.abs(R_tt)
+        R_abs_diag = jnp.sum(R_abs * _eye(tile), axis=0)[None, :]
+
+        g_cur = jax.nn.sigmoid(logits_t)
+        mu_cur = mu_t
+        eta_cur = eta_t
+        q_cur = q_t
+        for _ in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t - q_cur)
+            u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star
+            g_star = jax.nn.sigmoid(u_star)
+            if relax:
+                coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), R_abs,
+                                   preferred_element_type=F32)
+                coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
+                w = act / (1.0 + coupling)
+            else:
+                w = act
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = g_cur * mu_cur
+            d_in = (eta_new - eta_cur) * mask_t * on
+            q_cur = q_cur + jnp.dot(d_in, R_tt, preferred_element_type=F32) \
+                - d_in
+            eta_cur = eta_cur + d_in
+
+        d_t = (eta_cur - eta_t) * mask_t * on
+        keep = jnp.abs(d_t) >= ETA_DIFF_EPS
+        d_t = jnp.where(keep, d_t, 0.0)
+
+        u_new = jnp.log(jnp.clip(g_cur, 1e-30, None)) \
+            - jnp.log1p(-jnp.clip(g_cur, None, 1.0 - 1e-7))
+        logits_out[:, 0, sl] = jnp.where(keep, u_new, logits_t)
+        mu_out[:, 0, sl] = jnp.where(keep, mu_cur, mu_t)
+        eta_out[:, 0, sl] = eta_t + d_t
+
+        q_upd = jnp.dot(d_t, D_rows, preferred_element_type=F32)
+        if scale != 1.0:
+            q_upd = q_upd * F32(scale)
+        q_out[:, 0, :] = q_out[:, 0, :] + q_upd
+        q_out[:, 0, sl] = q_out[:, 0, sl] - d_t
+        return 0
+
+    lax.fori_loop(0, n_tiles, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
+def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
+                      hyper: Hyper, active, tile: int = 128,
+                      relax: bool = True, inner_steps: int = 4):
+    """Pallas-fused CAVI sweep; same contract as cavi_jax.cavi_sweep."""
+    B = ld.block_size
+    NB = ld.nb
+    S = state.logits.shape[0]
+    assert B % tile == 0
+    n_tiles = B // tile
+    eta0 = state.eta
+
+    active = active.astype(F32)
+    hyper_mat = jnp.concatenate([
+        jnp.stack([hyper.sigma_eps.astype(F32),
+                   hyper.tau_beta.astype(F32),
+                   hyper.pi.astype(F32),
+                   active,
+                   hyper.lambda_min.astype(F32)]),
+        jnp.zeros((3, S), F32),       # pad rows to a sublane multiple
+    ])                                 # (8, S)
+
+    kernel = functools.partial(
+        _sweep_kernel, tile=tile, n_tiles=n_tiles, scale=ld.scale,
+        relax=relax, inner_steps=inner_steps)
+
+    out_shapes = [jax.ShapeDtypeStruct((S, NB, B), F32) for _ in range(4)]
+
+    state_spec = pl.BlockSpec((S, 1, B), lambda b: (0, b, 0),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, B), lambda b: (b, 0), memory_space=pltpu.VMEM)
+
+    logits, mu, eta, q = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((8, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec, state_spec,
+        ],
+        out_specs=[state_spec] * 4,
+        out_shape=out_shapes,
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+    )(std_beta, n_per_snp, ld.mask, hyper_mat, ld.diag,
+      state.logits, state.mu, state.eta, state.q)
+
+    eta_diff = eta - eta0
+    q = refresh_q(ld, q, eta_diff)
+    return CaviState(logits=logits, mu=mu, eta=eta, q=q), eta_diff

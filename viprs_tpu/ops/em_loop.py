@@ -87,7 +87,7 @@ def em_fit(ld: BlockLD,
            x_abs_tol: float = 1e-6,
            patience: int = 10,
            tile: int = 128,
-           inner_steps: int = 2):
+           inner_steps: int = 4):
     """Run the fused EM loop until every model terminates (or max_iter).
 
     :param init_elbo: (S,) f64 — ELBO of the initial state (history slot 0;
