@@ -61,20 +61,19 @@ def synthesize_genome(m_target=1_100_000, n_gwas=350_000, h2=0.25,
         for m_b in sizes:
             rho = rng.uniform(0.2, 0.95)
             # AR(1) correlation matrix (analytic, PSD):
-            idx = np.arange(m_b)
-            R = rho ** np.abs(idx[:, None] - idx[None, :])
+            from scipy.linalg import toeplitz
+            R = toeplitz(rho ** np.arange(m_b))
             blocks.append(R)
 
             beta = np.where(rng.random(m_b) < prop_causal,
                             rng.standard_normal(m_b) * np.sqrt(h2 / (prop_causal * total)),
                             0.0)
-            # AR(1) noise with covariance R/n:
+            # AR(1) noise with covariance R/n (vectorized recursion):
+            from scipy.signal import lfilter
             z = rng.standard_normal(m_b)
-            eps = np.empty(m_b)
-            eps[0] = z[0]
             a = np.sqrt(1 - rho ** 2)
-            for i in range(1, m_b):
-                eps[i] = rho * eps[i - 1] + a * z[i]
+            z[0] /= a  # so the filtered series starts at z_0 exactly
+            eps = lfilter([1.0], [1.0, -rho], a * z)
             sb_parts.append(R @ beta + eps / np.sqrt(n_gwas))
         ld_blocks[c] = blocks
         m_c = sum(sizes)

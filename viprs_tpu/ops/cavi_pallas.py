@@ -39,8 +39,9 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                   diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
                   logits_out, mu_out, eta_out, q_out,
                   *, tile, n_tiles, scale, relax, inner_steps):
-    """One LD block. diag_ref: (1, B, B) storage dtype; state refs: (S, 1, B);
-    hyper_ref: (8, S) f32 rows [sigma_eps, tau_beta, pi, active, lambda_min]."""
+    """One LD block. diag_ref: (1, B, B) storage dtype; state refs: (1, S, B);
+    row refs: (1, 1, B); hyper_ref: (8, S) f32 rows
+    [sigma_eps, tau_beta, pi, active, lambda_min]."""
     sig_e = hyper_ref[0, :][:, None]          # (S, 1)
     tau_b = hyper_ref[1, :][:, None]
     pi_ = hyper_ref[2, :][:, None]
@@ -50,27 +51,29 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
     base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
 
     # start from the incoming state; the tile loop overwrites slices in place.
-    logits_out[:, 0, :] = logits_ref[:, 0, :]
-    mu_out[:, 0, :] = mu_ref[:, 0, :]
-    eta_out[:, 0, :] = eta_ref[:, 0, :]
-    q_out[:, 0, :] = q_ref[:, 0, :]
+    logits_out[0] = logits_ref[0]
+    mu_out[0] = mu_ref[0]
+    eta_out[0] = eta_ref[0]
+    q_out[0] = q_ref[0]
 
-    def body(t, _):
+    # statically unrolled tile loop (n_tiles is small; static slices lower
+    # cleanly in Mosaic and let the scheduler overlap tiles):
+    for t in range(n_tiles):
         idx = t * tile
         sl = pl.ds(idx, tile)
-        q_t = q_out[:, 0, sl]
-        eta_t = eta_out[:, 0, sl]
-        logits_t = logits_out[:, 0, sl]
-        mu_t = mu_out[:, 0, sl]
-        n_t = n_ref[0, sl][None, :]
-        beta_t = beta_ref[0, sl][None, :]
-        mask_t = mask_ref[0, sl][None, :]
+        q_t = q_out[0, :, sl]
+        eta_t = eta_out[0, :, sl]
+        logits_t = logits_out[0, :, sl]
+        mu_t = mu_out[0, :, sl]
+        n_t = n_ref[0, 0, sl][None, :]
+        beta_t = beta_ref[0, 0, sl][None, :]
+        mask_t = mask_ref[0, 0, sl][None, :]
 
         var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
         mu_mult_t = n_t / (var_tau_t * sig_e)
 
         D_rows = diag_ref[0, sl, :].astype(F32)            # (T, B)
-        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile))
+        R_tt = diag_ref[0, sl, sl].astype(F32)             # (T, T)
         if scale != 1.0:
             R_tt = R_tt * F32(scale)
         R_abs = jnp.abs(R_tt)
@@ -104,20 +107,17 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         keep = jnp.abs(d_t) >= ETA_DIFF_EPS
         d_t = jnp.where(keep, d_t, 0.0)
 
-        u_new = jnp.log(jnp.clip(g_cur, 1e-30, None)) \
-            - jnp.log1p(-jnp.clip(g_cur, None, 1.0 - 1e-7))
-        logits_out[:, 0, sl] = jnp.where(keep, u_new, logits_t)
-        mu_out[:, 0, sl] = jnp.where(keep, mu_cur, mu_t)
-        eta_out[:, 0, sl] = eta_t + d_t
+        u_new = jnp.log(jnp.clip(g_cur, F32(1e-30), None)) \
+            - jnp.log1p(-jnp.clip(g_cur, None, F32(1.0 - 1e-7)))
+        logits_out[0, :, sl] = jnp.where(keep, u_new, logits_t)
+        mu_out[0, :, sl] = jnp.where(keep, mu_cur, mu_t)
+        eta_out[0, :, sl] = eta_t + d_t
 
         q_upd = jnp.dot(d_t, D_rows, preferred_element_type=F32)
         if scale != 1.0:
             q_upd = q_upd * F32(scale)
-        q_out[:, 0, :] = q_out[:, 0, :] + q_upd
-        q_out[:, 0, sl] = q_out[:, 0, sl] - d_t
-        return 0
-
-    lax.fori_loop(0, n_tiles, body, 0)
+        q_out[0] = q_out[0] + q_upd
+        q_out[0, :, sl] = q_out[0, :, sl] - d_t
 
 
 @functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
@@ -146,27 +146,38 @@ def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
         _sweep_kernel, tile=tile, n_tiles=n_tiles, scale=ld.scale,
         relax=relax, inner_steps=inner_steps)
 
-    out_shapes = [jax.ShapeDtypeStruct((S, NB, B), F32) for _ in range(4)]
+    # Pallas TPU block-shape rules: the last two dims of every block must be
+    # (multiple of 8, multiple of 128) or equal the array dims. State is
+    # therefore laid out (NB, S, B) for the kernel (block (1, S, B)), and the
+    # per-variant rows as (NB, 1, B).
+    out_shapes = [jax.ShapeDtypeStruct((NB, S, B), F32) for _ in range(4)]
 
-    state_spec = pl.BlockSpec((S, 1, B), lambda b: (0, b, 0),
+    state_spec = pl.BlockSpec((1, S, B), lambda b: (b, b * 0, b * 0),
                               memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, B), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, B), lambda b: (b, b * 0, b * 0),
+                            memory_space=pltpu.VMEM)
+
+    to_k = lambda x: jnp.transpose(x, (1, 0, 2))     # (S,NB,B) -> (NB,S,B)
+    rowify = lambda x: x[:, None, :]                 # (NB,B) -> (NB,1,B)
 
     logits, mu, eta, q = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((8, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0),
+            pl.BlockSpec((8, S), lambda b: (b * 0, b * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, b * 0, b * 0),
                          memory_space=pltpu.VMEM),
             state_spec, state_spec, state_spec, state_spec,
         ],
         out_specs=[state_spec] * 4,
         out_shape=out_shapes,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
-    )(std_beta, n_per_snp, ld.mask, hyper_mat, ld.diag,
-      state.logits, state.mu, state.eta, state.q)
+    )(rowify(std_beta), rowify(n_per_snp), rowify(ld.mask), hyper_mat, ld.diag,
+      to_k(state.logits), to_k(state.mu), to_k(state.eta), to_k(state.q))
+
+    from_k = lambda x: jnp.transpose(x, (1, 0, 2))
+    logits, mu, eta, q = from_k(logits), from_k(mu), from_k(eta), from_k(q)
 
     eta_diff = eta - eta0
     q = refresh_q(ld, q, eta_diff)

@@ -71,7 +71,7 @@ def _hyper_f32(h: Hyper) -> Hyper:
 
 
 @partial(jax.jit, static_argnames=(
-    'tile', 'max_iter', 'min_iter', 'inner_steps'))
+    'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas'))
 def em_fit(ld: BlockLD,
            state0: CaviState,
            std_beta, n_per_snp,
@@ -87,7 +87,8 @@ def em_fit(ld: BlockLD,
            x_abs_tol: float = 1e-6,
            patience: int = 10,
            tile: int = 128,
-           inner_steps: int = 4):
+           inner_steps: int = 4,
+           use_pallas: bool = False):
     """Run the fused EM loop until every model terminates (or max_iter).
 
     :param init_elbo: (S,) f64 — ELBO of the initial state (history slot 0;
@@ -128,9 +129,16 @@ def em_fit(ld: BlockLD,
         act_f = c.active.astype(F32) * c.damping
 
         # ---- E-step ----
-        state, eta_diff = cavi_sweep(ld, c.state, std_beta, n_per_snp,
-                                     h32, act_f, tile=tile,
-                                     inner_steps=inner_steps)
+        if use_pallas:
+            from .cavi_pallas import cavi_sweep_pallas
+            state, eta_diff = cavi_sweep_pallas(ld, c.state, std_beta,
+                                                n_per_snp, h32, act_f,
+                                                tile=tile,
+                                                inner_steps=inner_steps)
+        else:
+            state, eta_diff = cavi_sweep(ld, c.state, std_beta, n_per_snp,
+                                         h32, act_f, tile=tile,
+                                         inner_steps=inner_steps)
 
         # ---- reductions with e-step hyperparameters ----
         var_tau = updates.compute_var_tau(n_per_snp, h32)
