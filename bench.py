@@ -128,6 +128,32 @@ def main():
 
     assert model2.optim_result.valid_optim_result, model2.optim_result.message
 
+    # ---- north-star workload: 100-point grid + BMA (BASELINE.md targets
+    # < 60 s on a v5e-16; this runs on ONE chip) ----
+    if '--no-grid' not in sys.argv:
+        from viprs_tpu.model import VIPRSGrid
+        from viprs_tpu.gridsearch import HyperparameterGrid, bayesian_model_average
+        np.random.seed(0)
+        grid = HyperparameterGrid(pi_steps=20, sigma_epsilon_steps=5,
+                                  n_snps=ds.m, h2_est=0.25, h2_se=0.05)
+        gmodel = VIPRSGrid(ds, grid)
+        assert gmodel.n_models == 100
+        t0 = time.time()
+        gmodel.fit(max_iter=500)
+        bayesian_model_average(gmodel)
+        grid_cold = time.time() - t0
+        log(f"grid(100)+BMA cold (incl. compile): {grid_cold:.2f}s; "
+            f"converged={int(np.sum([r.success for r in gmodel.optim_results]))}/100")
+
+        np.random.seed(0)
+        gmodel2 = VIPRSGrid(ds, grid)
+        t0 = time.time()
+        gmodel2.fit(max_iter=500)
+        bayesian_model_average(gmodel2)
+        grid_steady = time.time() - t0
+        log(f"grid(100)+BMA steady-state: {grid_steady:.2f}s "
+            f"(north-star target: <60s on 16 chips; this is 1 chip)")
+
     print(json.dumps({
         "metric": "genomewide_em_fit_seconds",
         "value": round(steady, 3),

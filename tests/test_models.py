@@ -204,3 +204,23 @@ class TestLDPredInf:
         eta = np.concatenate([m.post_mean_beta[c] for c in m.chromosomes])
         bt = np.concatenate([sim['beta_true'][c] for c in m.chromosomes])
         assert np.corrcoef(eta, bt)[0, 1] > 0.3
+
+
+class TestCheckpoint:
+
+    def test_save_load_resume(self, dataset, tmp_path):
+        np.random.seed(15)
+        m = VIPRS(dataset)
+        m.fit(max_iter=20)
+        ckpt = str(tmp_path / 'state.npz')
+        m.save_checkpoint(ckpt)
+
+        np.random.seed(16)
+        m2 = VIPRS(dataset)
+        m2.initialize()
+        m2.load_checkpoint(ckpt)
+        for c in m.chromosomes:
+            np.testing.assert_allclose(m2.eta[c], m.eta[c], atol=1e-7)
+        # resume and keep optimizing:
+        m2.fit(max_iter=100, continued=True)
+        assert m2.history['ELBO'][-1] >= m.history['ELBO'][-1] - 1e-3  # f32 state noise

@@ -18,7 +18,9 @@ def build_parser():
     parser.add_argument('-f', '--fit-files', dest='fit_files', required=True,
                         nargs='+', help="Path(s) to .fit files from viprs_fit.")
     parser.add_argument('--bed-files', dest='bed_files', required=True,
-                        help="Path to the plink BED fileset to score.")
+                        nargs='+',
+                        help="Path(s)/glob of plink BED fileset(s) to score "
+                             "(e.g. one per chromosome).")
     parser.add_argument('--output-file', dest='output_file', required=True)
     parser.add_argument('--keep', dest='keep_file', default=None,
                         help="File listing sample IDs to keep.")
@@ -33,10 +35,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.WARNING))
 
+    import re
+
     import numpy as np
     import pandas as pd
-    from ..data.genotype import GenotypeMatrix
+    from ..data.genotype import open_genotypes
     from ..data.harmonize import merge_snp_tables
+    from ..data.loader import get_filenames
 
     keep = None
     if args.keep_file:
@@ -47,7 +52,9 @@ def main(argv=None):
         extract = pd.read_csv(args.extract_file, header=None).iloc[:, 0].tolist()
 
     logger.info("> Loading genotype data...")
-    genotype = GenotypeMatrix(args.bed_files, keep_samples=keep,
+    prefixes = sorted({re.sub(r'\.(bed|bim|fam)$', '', f)
+                       for f in get_filenames(args.bed_files)})
+    genotype = open_genotypes(prefixes, keep_samples=keep,
                               extract_snps=extract)
 
     logger.info("> Loading inferred parameters...")

@@ -566,6 +566,41 @@ class VIPRS(BayesPRSModel):
                 code, float(np.asarray(res.final_elbo)[0]),
                 int(np.asarray(res.nit)[0]))
 
+    # ------------------------------------------------------------- checkpoints
+    def save_checkpoint(self, f_name):
+        """Write the full variational state + hyperparameters to an .npz file
+        (mid-optimization checkpointing; the reference only round-trips final
+        posterior tables, BayesPRSModel.py:412-478 — resume with
+        ``load_checkpoint`` + ``fit(continued=True)``)."""
+        np.savez_compressed(
+            f_name,
+            logits=np.asarray(self._state.logits),
+            mu=np.asarray(self._state.mu),
+            eta=np.asarray(self._state.eta),
+            q=np.asarray(self._state.q),
+            sigma_eps=np.atleast_1d(np.asarray(self._hyper.sigma_eps)),
+            tau_beta=np.atleast_1d(np.asarray(self._hyper.tau_beta)),
+            pi=np.atleast_1d(np.asarray(self._hyper.pi)),
+            lambda_min=np.atleast_1d(np.asarray(self._hyper.lambda_min)),
+            sigma_g=np.atleast_1d(self._sigma_g),
+            elbo_history=np.asarray(self.history.get('ELBO', [])),
+        )
+
+    def load_checkpoint(self, f_name):
+        """Restore a checkpoint written by ``save_checkpoint``."""
+        z = np.load(f_name if str(f_name).endswith('.npz') else f_name + '.npz')
+        self._state = CaviState(logits=jnp.asarray(z['logits']),
+                                mu=jnp.asarray(z['mu']),
+                                eta=jnp.asarray(z['eta']),
+                                q=jnp.asarray(z['q']))
+        self._S = int(z['logits'].shape[0])
+        self._hyper = Hyper(sigma_eps=z['sigma_eps'], tau_beta=z['tau_beta'],
+                            pi=z['pi'], lambda_min=z['lambda_min'])
+        self._sigma_g = z['sigma_g']
+        self.history['ELBO'] = list(z['elbo_history'])
+        self._update_fix_mask()
+        return self
+
     def _fit_stepwise(self, max_iter, min_iter, f_abs_tol, x_abs_tol, patience,
                       continued=False, theta_0=None, param_0=None, max_restarts=1):
         """Host-stepped EM (one device roundtrip per iteration) used when
