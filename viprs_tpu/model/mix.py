@@ -272,7 +272,14 @@ class VIPRSMix(BayesPRSModel):
 
     def fit(self, max_iter=1000, theta_0=None, param_0=None, continued=False,
             min_iter=3, f_abs_tol=1e-6, x_abs_tol=1e-6, patience=10,
-            max_restarts=1, **kwargs):
+            max_restarts=1, fused=True, **kwargs):
+        """Mixture EM fit. ``fused=True`` (default) runs the whole loop on
+        device (ops/mix_em_loop.py); ``fused=False`` falls back to the
+        host-stepped loop (needed for exotic per-iteration tracking)."""
+        if fused:
+            return self._fit_fused(max_iter, theta_0, param_0, continued,
+                                   min_iter, f_abs_tol, x_abs_tol, patience,
+                                   max_restarts)
         if not continued:
             self.initialize(theta_0, param_0)
 
@@ -358,6 +365,70 @@ class VIPRSMix(BayesPRSModel):
                                              "You may need to run the model for more iterations.",
                                      increment=False)
 
+        self.update_posterior_moments()
+        return self
+
+    def _mix_fix(self):
+        import jax.numpy as jnp
+        from ..ops.mix_em_loop import MixFix
+        return MixFix(
+            sigma_eps=jnp.asarray('sigma_epsilon' in self.fix_params),
+            tau_betas=jnp.asarray('tau_betas' in self.fix_params),
+            pis=jnp.asarray('pis' in self.fix_params),
+            total_pi=jnp.asarray(float(self.fix_params.get('pi', 0.0)),
+                                 jnp.float64))
+
+    def _fit_fused(self, max_iter, theta_0, param_0, continued, min_iter,
+                   f_abs_tol, x_abs_tol, patience, max_restarts):
+        import jax.numpy as jnp
+        from ..ops.mix_em_loop import mix_em_fit
+
+        if not continued:
+            self.initialize(theta_0, param_0)
+        self.history.setdefault('ELBO', [])
+
+        restarts = 0
+        while True:
+            init_elbo = jnp.asarray(self.elbo(), jnp.float64)
+            res = mix_em_fit(
+                self.dataset.ld, self._state, self._std_beta_flat,
+                self._n_flat, self._hyper_f32(), self._mix_fix(),
+                jnp.asarray(self.d, jnp.float32),
+                n_sample=float(self.n), m_total=float(self.m),
+                init_elbo=init_elbo, max_iter=max_iter, min_iter=min_iter,
+                f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
+                tile=self.tile)
+
+            self._state = res.state
+            self._hyper = MixHyper(
+                sigma_eps=np.float64(np.asarray(res.hyper.sigma_eps)),
+                tau_beta=np.asarray(res.hyper.tau_beta, dtype=np.float64),
+                pi=np.asarray(res.hyper.pi, dtype=np.float64),
+                lambda_min=np.float64(np.asarray(res.hyper.lambda_min)))
+            self._sigma_g = float(np.asarray(res.sigma_g))
+            code = int(np.asarray(res.status))
+
+            if (code == 4  # MSE_NEGATIVE
+                    and 'sigma_epsilon' not in self.fix_params
+                    and restarts < max_restarts):
+                restarts += 1
+                logger.info("MSE negative; restarting mixture fit with fixed "
+                            "sigma_epsilon (reference behavior).")
+                self.initialize_theta(theta_0)
+                self.fix_params['sigma_epsilon'] = 0.95
+                self._hyper = self._hyper._replace(sigma_eps=np.float64(0.95))
+                self.initialize_variational_parameters(param_0)
+                continue
+            break
+
+        hist = np.asarray(res.elbo_hist)
+        nit = int(np.asarray(res.nit))
+        self.history['ELBO'] = [v for v in hist[:nit + 1].tolist()]
+        from ..utils.optimize import OptimizeResult
+        self.optim_result = OptimizeResult.from_status(
+            code, float(np.asarray(res.final_elbo)), nit)
+        if not self.optim_result.success:
+            logger.warning("\t%s", self.optim_result.message)
         self.update_posterior_moments()
         return self
 

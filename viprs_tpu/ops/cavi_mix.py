@@ -63,18 +63,38 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
         n_t = lax.dynamic_slice(n_b, (idx,), (tile,))[None, :]
         beta_t = lax.dynamic_slice(beta_b, (idx,), (tile,))[None, :]
         mask_t = lax.dynamic_slice(mask_b, (idx,), (tile,))
+        g_t = lax.dynamic_slice(gamma_b, (0, idx), (gamma_b.shape[0], tile))
+        mu_t = lax.dynamic_slice(mu_b, (0, idx), (mu_b.shape[0], tile))
 
         var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b          # (K,T)
         mu_mult_t = n_t / (var_tau_t * sig_e)
-        mu_new = mu_mult_t * (beta_t - q_t[None, :])           # (K,T)
+        mu_star = mu_mult_t * (beta_t - q_t[None, :])          # (K,T)
         u = base_logit - 0.5 * jnp.log(var_tau_t) \
-            + 0.5 * var_tau_t * mu_new * mu_new                # (K,T)
+            + 0.5 * var_tau_t * mu_star * mu_star              # (K,T)
 
         # softmax over K slabs + the null component:
         u_max = jnp.maximum(jnp.max(u, axis=0), log_null_pi)   # (T,)
         exp_u = jnp.exp(u - u_max[None, :])
         denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
-        g_new = exp_u / denom[None, :]                         # (K,T)
+        g_star = exp_u / denom[None, :]                        # (K,T)
+
+        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
+
+        # gamma-weighted within-tile under-relaxation (same stabilization as
+        # the spike-and-slab kernel; Jacobi overshoots on stiff LD):
+        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile)).astype(F32)
+        if scale != 1.0:
+            R_tt = R_tt * F32(scale)
+        R_abs = jnp.abs(R_tt)
+        pip_star = jnp.sum(g_star, axis=0)                     # (T,)
+        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=0)      # (T,)
+        coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
+                           preferred_element_type=F32)
+        coupling = coupling - jnp.diagonal(R_abs) * pip_star * mu_mult_max
+        w = (1.0 / (1.0 + coupling))[None, :]                  # (1,T)
+
+        g_new = g_t + w * (g_star - g_t)
+        mu_new = mu_t + w * (mu_star - mu_t)
 
         d_t = (jnp.sum(g_new * mu_new, axis=0) - eta_t) * mask_t  # (T,)
 
@@ -82,7 +102,6 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
         mu_b = lax.dynamic_update_slice(mu_b, mu_new, (0, idx))
         eta_b = lax.dynamic_update_slice(eta_b, eta_t + d_t, (idx,))
 
-        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
         q_b = q_b + _dequant_matmul(d_t[None, :], D_rows, scale)[0]
         q_tt = lax.dynamic_slice(q_b, (idx,), (tile,))
         q_b = lax.dynamic_update_slice(q_b, q_tt - d_t, (idx,))

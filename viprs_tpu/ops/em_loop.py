@@ -47,6 +47,8 @@ class EMCarry(NamedTuple):
     prev_elbo: jnp.ndarray       # (S,) f64
     prev_dropped: jnp.ndarray    # (S,) bool — ELBO dropped last iteration
     osc_counter: jnp.ndarray     # (S,) i32
+    best_elbo: jnp.ndarray       # (S,) f64 — best objective so far
+    stall_counter: jnp.ndarray   # (S,) i32 — iters since the best improved
     sigma_g_counter: jnp.ndarray  # (S,) i32
     div_counter: jnp.ndarray     # (S,) i32
     damping: jnp.ndarray         # (S,) f32
@@ -113,6 +115,8 @@ def em_fit(ld: BlockLD,
         prev_elbo=init_elbo.astype(F64),
         prev_dropped=jnp.zeros(S, bool),
         osc_counter=jnp.zeros(S, I32),
+        best_elbo=jnp.full(S, -jnp.inf, F64),
+        stall_counter=jnp.zeros(S, I32),
         sigma_g_counter=jnp.zeros(S, I32),
         div_counter=jnp.zeros(S, I32),
         damping=jnp.ones(S, F32),
@@ -173,9 +177,21 @@ def em_fit(ld: BlockLD,
         osc = jnp.where(dropped & c.prev_dropped, c.osc_counter + 1,
                         jnp.where(dropped, c.osc_counter, 0))
         # Damping escalation replaces thread-count reduction (VIPRS.py:1056-1061):
-        escalate = c.active & (osc > 5) & (c.damping > 0.1)
+        escalate = c.active & (osc > 5) & (c.damping > 0.01)
         damping = jnp.where(escalate, c.damping * F32(0.7), c.damping)
         osc = jnp.where(escalate, 0, osc)
+
+        # Stall detection: limit cycles (e.g. correlated variants trading
+        # inclusion) can oscillate without consecutive drops. If the best
+        # objective hasn't improved for 2*patience iterations, halve the step:
+        # damping preserves the CAVI fixed point, and once steps fall below the
+        # keep-threshold the state freezes and the x-tolerance fires.
+        improved = curr_elbo > c.best_elbo + f_abs_tol
+        best_elbo = jnp.maximum(c.best_elbo, curr_elbo)
+        stall = jnp.where(improved | ~c.active, 0, c.stall_counter + 1)
+        stall_escalate = c.active & (stall > 2 * patience) & (damping > 0.01)
+        damping = jnp.where(stall_escalate, damping * F32(0.5), damping)
+        stall = jnp.where(stall_escalate, 0, stall)
 
         # ---- the ladder (ordered elif chain, VIPRS.py:1022-1097) ----
         status = jnp.full(S, opt.RUNNING, I32)
@@ -206,7 +222,8 @@ def em_fit(ld: BlockLD,
         return EMCarry(state=state, hyper=hyper, sigma_g=sigma_g, i=i,
                        active=active, status=status, nit=nit,
                        prev_elbo=curr_elbo, prev_dropped=dropped,
-                       osc_counter=osc, sigma_g_counter=sigma_g_counter,
+                       osc_counter=osc, best_elbo=best_elbo,
+                       stall_counter=stall, sigma_g_counter=sigma_g_counter,
                        div_counter=div_counter, damping=damping,
                        elbo_hist=hist, max_eta_diff=max_ed)
 

@@ -1,0 +1,188 @@
+"""Fused on-device EM loop for the mixture-prior model (VIPRSMix).
+
+The mixture analog of ops/em_loop.py: one lax.while_loop runs
+[mixture sweep -> M-step (VIPRSMix.py:227-260) -> ELBO -> convergence ladder].
+Single model (no S axis; the reference does not combine mixture and grid)."""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .block_ld import BlockLD
+from .cavi_mix import (MixState, MixHyper, cavi_sweep_mixture, mix_var_tau,
+                       mix_stats)
+from ..utils import optimize as opt
+
+F32 = jnp.float32
+F64 = jnp.float64
+I32 = jnp.int32
+
+
+class MixFix(NamedTuple):
+    sigma_eps: jnp.ndarray   # scalar bool
+    tau_betas: jnp.ndarray   # scalar bool (pins the whole tau vector)
+    pis: jnp.ndarray         # scalar bool (pins the whole pi vector)
+    total_pi: jnp.ndarray    # scalar f64; >0 => renormalize pi to this total
+
+
+def _mix_elbo(stats, hyper: MixHyper, sigma_eps_fixed, sigma_g, n, m_total, d):
+    sig_e = hyper.sigma_eps.astype(F64)
+    tau_b = hyper.tau_beta.astype(F64)
+    pi = hyper.pi.astype(F64)
+    n = F64(n)
+
+    quad = (1.0 / sig_e) * (1.0 - 2.0 * stats['sum_beta_eta'] + sigma_g)
+    fit_term = jnp.where(sigma_eps_fixed, quad, 1.0)
+    e = 0.5 * n * (-jnp.log(2.0 * jnp.pi * sig_e) - fit_term)
+
+    e = e - (stats['sum_g_logg'] - jnp.dot(stats['sum_gamma_k'], jnp.log(pi)))
+    null_pi = jnp.maximum(1.0 - pi.sum(), 1e-12)
+    e = e - (stats['sum_ng_logng'] - stats['sum_null_g'] * jnp.log(null_pi))
+    e = e + 0.5 * (jnp.dot(stats['sum_gamma_k'], 1.0 + jnp.log(tau_b))
+                   - stats['sum_g_logvt'].sum())
+    e = e - 0.5 * jnp.dot(tau_b, stats['sum_zeta_k'])
+    return e
+
+
+class MixEMResult(NamedTuple):
+    state: MixState
+    hyper: MixHyper
+    sigma_g: jnp.ndarray
+    status: jnp.ndarray
+    nit: jnp.ndarray
+    elbo_hist: jnp.ndarray
+    final_elbo: jnp.ndarray
+    final_mse: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter'))
+def mix_em_fit(ld: BlockLD,
+               state0: MixState,
+               std_beta, n_per_snp,
+               hyper0: MixHyper,
+               fix: MixFix,
+               d_mult,
+               n_sample,
+               m_total,
+               init_elbo,
+               max_iter: int = 1000,
+               min_iter: int = 3,
+               f_abs_tol: float = 1e-6,
+               x_abs_tol: float = 1e-6,
+               patience: int = 10,
+               tile: int = 128):
+    """Fused mixture EM. ``d_mult``: (K,) prior-variance multipliers."""
+    K = hyper0.pi.shape[0]
+    mask = ld.mask
+    d64 = d_mult.astype(F64)
+
+    elbo_hist = jnp.full((max_iter + 1,), jnp.nan, dtype=F64)
+    elbo_hist = elbo_hist.at[0].set(init_elbo)
+
+    hyper64 = MixHyper(sigma_eps=hyper0.sigma_eps.astype(F64),
+                       tau_beta=hyper0.tau_beta.astype(F64),
+                       pi=hyper0.pi.astype(F64),
+                       lambda_min=hyper0.lambda_min.astype(F64))
+
+    carry = dict(state=state0, hyper=hyper64,
+                 sigma_g=jnp.asarray(0.0, F64), i=jnp.asarray(0, I32),
+                 status=jnp.asarray(opt.RUNNING, I32),
+                 prev_elbo=init_elbo.astype(F64),
+                 sigma_g_counter=jnp.asarray(0, I32),
+                 div_counter=jnp.asarray(0, I32),
+                 elbo_hist=elbo_hist)
+
+    def h32(h):
+        return MixHyper(sigma_eps=h.sigma_eps.astype(F32),
+                        tau_beta=h.tau_beta.astype(F32),
+                        pi=h.pi.astype(F32),
+                        lambda_min=h.lambda_min.astype(F32))
+
+    def cond(c):
+        return (c['i'] < max_iter) & (c['status'] == opt.RUNNING)
+
+    def body(c):
+        i = c['i'] + 1
+        hy = h32(c['hyper'])
+
+        state, eta_diff = cavi_sweep_mixture(ld, c['state'], std_beta,
+                                             n_per_snp, hy, tile=tile)
+        vt = mix_var_tau(n_per_snp, hy)
+        stats = mix_stats(state, vt, std_beta, mask)
+
+        # ---- M-step (VIPRSMix.py:227-260) ----
+        h = c['hyper']
+        pi_est = stats['sum_gamma_k']
+        pi_renorm = fix.total_pi * pi_est / pi_est.sum()
+        pi_free = pi_est / F64(m_total)
+        pi_new = jnp.where(fix.total_pi > 0, pi_renorm, pi_free)
+        pi = jnp.where(fix.pis, h.pi, pi_new)
+
+        tau_est = jnp.sum(pi) * F64(m_total) / jnp.dot(d64, stats['sum_zeta_k'])
+        tau_new = jnp.clip(d64 * tau_est, 1.0, None)
+        tau_beta = jnp.where(fix.tau_betas, h.tau_beta, tau_new)
+
+        lam = h.lambda_min
+        sigma_g = (1.0 + lam) * stats['sum_zeta_k'].sum() + stats['sum_q_eta']
+        sig_e_new = 1.0 - 2.0 * stats['sum_beta_eta'] + sigma_g
+        sigma_eps = jnp.where(fix.sigma_eps, h.sigma_eps, sig_e_new)
+
+        hyper = MixHyper(sigma_eps=sigma_eps, tau_beta=tau_beta, pi=pi,
+                         lambda_min=lam)
+
+        curr_elbo = _mix_elbo(stats, hyper, fix.sigma_eps, sigma_g,
+                              n_sample, m_total, d64)
+        curr_mse = (1.0 - 2.0 * stats['sum_beta_eta'] + sigma_g
+                    - stats['sum_zeta_k'].sum() + stats['sum_eta_sq'])
+        h2 = sigma_g / (sigma_g + sigma_eps)
+        max_ed = jnp.max(jnp.abs(eta_diff) * mask)
+
+        sigg_cond = ((i > min_iter)
+                     & (jnp.abs(sigma_g - c['sigma_g']) <= x_abs_tol)
+                     & (max_ed < x_abs_tol * 10.0))
+        sigma_g_counter = jnp.where(sigg_cond, c['sigma_g_counter'] + 1, 0)
+        dropped = curr_elbo < c['prev_elbo']
+        div_cond = dropped & ~(jnp.abs(curr_elbo - c['prev_elbo'])
+                               <= 1e3 * f_abs_tol + 1e-4 * jnp.abs(c['prev_elbo']))
+        div_counter = jnp.where(div_cond, c['div_counter'] + 1, 0)
+
+        status = jnp.asarray(opt.RUNNING, I32)
+
+        def set_status(status, cond_, code):
+            return jnp.where((status == opt.RUNNING) & cond_, code, status)
+
+        status = set_status(status, curr_mse < 0.0, opt.MSE_NEGATIVE)
+        status = set_status(status, ~jnp.isfinite(curr_elbo), opt.ELBO_NONFINITE)
+        status = set_status(status, sigma_eps < 0.0, opt.SIGMA_EPS_NEGATIVE)
+        status = set_status(status, (h2 > 1.0) | (h2 < 0.0), opt.H2_OUT_OF_BOUNDS)
+        status = set_status(
+            status, (i > min_iter) & (jnp.abs(curr_elbo - c['prev_elbo']) <= f_abs_tol),
+            opt.CONVERGED_F)
+        status = set_status(status, (i > min_iter) & (max_ed < x_abs_tol),
+                            opt.CONVERGED_X)
+        status = set_status(status, sigma_g_counter > patience,
+                            opt.CONVERGED_SIGMA_G)
+        status = set_status(status, div_counter > patience, opt.DIVERGED_ELBO)
+
+        hist = lax.dynamic_update_slice(c['elbo_hist'], curr_elbo[None], (i,))
+
+        return dict(state=state, hyper=hyper, sigma_g=sigma_g, i=i,
+                    status=status, prev_elbo=curr_elbo,
+                    sigma_g_counter=sigma_g_counter, div_counter=div_counter,
+                    elbo_hist=hist)
+
+    c = lax.while_loop(cond, body, carry)
+    status = jnp.where(c['status'] == opt.RUNNING, opt.MAX_ITER, c['status'])
+
+    hy = h32(c['hyper'])
+    vt = mix_var_tau(n_per_snp, hy)
+    stats = mix_stats(c['state'], vt, std_beta, mask)
+    final_mse = (1.0 - 2.0 * stats['sum_beta_eta'] + c['sigma_g']
+                 - stats['sum_zeta_k'].sum() + stats['sum_eta_sq'])
+
+    return MixEMResult(state=c['state'], hyper=c['hyper'], sigma_g=c['sigma_g'],
+                       status=status, nit=c['i'], elbo_hist=c['elbo_hist'],
+                       final_elbo=c['prev_elbo'], final_mse=final_mse)
