@@ -86,46 +86,53 @@ def bayesian_model_average(viprs_grid_model, normalization='softmax'):
 
     logger.info("Averaging PRS models with weights: %s", weights)
 
+    import jax
     import jax.numpy as jnp
     from ..ops.cavi_jax import CaviState, Hyper
     from ..ops import updates
 
     st = viprs_grid_model._state
-    w = weights[keep] / weights[keep].sum()
+    w_full = np.zeros(len(weights))
+    w_full[keep] = weights[keep] / weights[keep].sum()
 
-    gamma = np.asarray(st.gamma)[keep]
-    mu = np.asarray(st.mu)[keep]
-    qv = np.asarray(st.q)[keep]
+    # Device-side averaging + unconstrained M-step (grid_utils.py:163-184) —
+    # only the collapsed S=1 state and four scalars leave the device.
+    @jax.jit
+    def _bma(st: CaviState, w, var_tau, sb, mask, lam):
+        wbc = w[:, None, None].astype(jnp.float32)
+        gamma_avg = (st.gamma * wbc).sum(axis=0)
+        mu_avg = (st.mu * wbc).sum(axis=0)
+        q_avg = (st.q * wbc).sum(axis=0)
+        var_tau_avg = (var_tau * wbc).sum(axis=0)
+        eta_avg = gamma_avg * mu_avg
+        zeta_avg = gamma_avg * (mu_avg ** 2 + 1.0 / var_tau_avg)
+
+        m_total = mask.sum().astype(jnp.float64)
+        pi_new = (gamma_avg * mask).sum().astype(jnp.float64) / m_total
+        tau_new = pi_new * m_total / (zeta_avg * mask).sum().astype(jnp.float64)
+        sigma_g = (((1.0 + lam) * zeta_avg + q_avg * eta_avg)
+                   * mask).sum().astype(jnp.float64)
+        sig_e = 1.0 - 2.0 * (sb * eta_avg * mask).sum().astype(jnp.float64) \
+            + sigma_g
+
+        g_clip = jnp.clip(gamma_avg, 1e-8, 1.0 - 1e-8)
+        new_state = CaviState(
+            logits=(jnp.log(g_clip) - jnp.log1p(-g_clip)).astype(jnp.float32)[None],
+            mu=mu_avg[None], eta=eta_avg[None], q=q_avg[None])
+        return new_state, pi_new, tau_new, sigma_g, sig_e
+
     h32 = viprs_grid_model._hyper_f32()
-    var_tau = np.asarray(updates.compute_var_tau(
-        viprs_grid_model._n_flat, h32))[keep]
-
-    wbc = w[:, None, None]
-    gamma_avg = (gamma * wbc).sum(axis=0)
-    mu_avg = (mu * wbc).sum(axis=0)
-    q_avg = (qv * wbc).sum(axis=0)
-    var_tau_avg = (var_tau * wbc).sum(axis=0)
-
-    eta_avg = gamma_avg * mu_avg
-    zeta_avg = gamma_avg * (mu_avg ** 2 + 1.0 / var_tau_avg)
-
-    mask = np.asarray(viprs_grid_model.dataset.ld.mask)
-    m_total = float(viprs_grid_model.m)
+    var_tau_dev = updates.compute_var_tau(viprs_grid_model._n_flat, h32)
     lam = float(np.atleast_1d(viprs_grid_model._hyper.lambda_min)[keep[0]])
-    sb = np.asarray(viprs_grid_model._std_beta_flat)
+    new_state, pi_j, tau_j, sg_j, se_j = _bma(
+        st, jnp.asarray(w_full), var_tau_dev, viprs_grid_model._std_beta_flat,
+        viprs_grid_model.dataset.ld.mask, lam)
 
-    # Unconstrained M-step on the averaged moments (grid_utils.py:178-184):
-    pi_new = float((gamma_avg * mask).sum() / m_total)
-    tau_beta_new = pi_new * m_total / float((zeta_avg * mask).sum())
-    sigma_g = float((((1.0 + lam) * zeta_avg + q_avg * eta_avg) * mask).sum())
-    sigma_eps_new = 1.0 - 2.0 * float((sb * eta_avg * mask).sum()) + sigma_g
-
-    g_clip = np.clip(gamma_avg, 1e-8, 1.0 - 1e-8)
-    viprs_grid_model._state = CaviState(
-        logits=jnp.asarray(np.log(g_clip) - np.log1p(-g_clip), jnp.float32)[None],
-        mu=jnp.asarray(mu_avg, jnp.float32)[None],
-        eta=jnp.asarray(eta_avg, jnp.float32)[None],
-        q=jnp.asarray(q_avg, jnp.float32)[None])
+    pi_new = float(np.asarray(pi_j))
+    tau_beta_new = float(np.asarray(tau_j))
+    sigma_g = float(np.asarray(sg_j))
+    sigma_eps_new = float(np.asarray(se_j))
+    viprs_grid_model._state = new_state
     viprs_grid_model._hyper = Hyper(
         sigma_eps=np.array([sigma_eps_new]), tau_beta=np.array([tau_beta_new]),
         pi=np.array([pi_new]), lambda_min=np.array([lam]))

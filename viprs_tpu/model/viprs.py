@@ -312,24 +312,27 @@ class VIPRS(BayesPRSModel):
         nb, B = lay.nb, lay.block_size
         S = self._S
 
+        # Build the state on device (broadcasting per-model scalars) — host
+        # materialization + transfer costs ~1s/40MB on the tunnel transport.
         if 'gamma' in param_0:
             g = np.clip(lay.to_flat(param_0['gamma']), 1e-8, 1 - 1e-8)
-            logits = np.broadcast_to(_logit(g).reshape(1, nb, B),
-                                     (S, nb, B)).astype(np.float32).copy()
+            logits_j = jnp.broadcast_to(
+                jnp.asarray(_logit(g).reshape(1, nb, B), jnp.float32),
+                (S, nb, B))
         else:
             pi_ = np.atleast_1d(np.asarray(self._hyper.pi, dtype=np.float64))
-            logits = np.empty((S, nb, B), np.float32)
-            for s in range(S):
-                logits[s] = np.float32(_logit(pi_[min(s, len(pi_) - 1)]))
+            if len(pi_) < S:
+                pi_ = np.repeat(pi_, S)[:S]
+            logits_j = jnp.broadcast_to(
+                jnp.asarray(_logit(pi_), jnp.float32)[:, None, None],
+                (S, nb, B))
 
         if 'mu' in param_0:
-            mu = np.broadcast_to(lay.to_flat(param_0['mu']).reshape(1, nb, B),
-                                 (S, nb, B)).astype(np.float32).copy()
+            mu_j = jnp.broadcast_to(
+                jnp.asarray(lay.to_flat(param_0['mu']).reshape(1, nb, B),
+                            jnp.float32), (S, nb, B))
         else:
-            mu = np.zeros((S, nb, B), np.float32)
-
-        logits_j = jnp.asarray(logits)
-        mu_j = jnp.asarray(mu)
+            mu_j = jnp.zeros((S, nb, B), F32)
         if 'mu' in param_0 or 'gamma' in param_0:
             eta = jax.nn.sigmoid(logits_j) * mu_j
             q = compute_q(self.dataset.ld, eta)
@@ -509,7 +512,10 @@ class VIPRS(BayesPRSModel):
             init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
             active0 = jnp.asarray(restart_mask)
 
-        self.update_posterior_moments()
+        if self._S == 1:
+            self.update_posterior_moments()
+        # (grid models compute posterior moments after collapsing to one model
+        #  — materializing S full posteriors costs GBs of device->host traffic)
         self._finalize_history(res)
         self._populate_optim_result(res)
 
@@ -544,20 +550,16 @@ class VIPRS(BayesPRSModel):
         self._hyper = Hyper(**h)
         self._update_fix_mask()
 
-        # reset variational state for the restarted lanes:
-        lay = self.dataset.layout
-        nb, B = lay.nb, lay.block_size
-        logits = np.asarray(self._state.logits).copy()
-        mu = np.asarray(self._state.mu).copy()
-        eta = np.asarray(self._state.eta).copy()
-        qv = np.asarray(self._state.q).copy()
-        for s in np.where(restart_mask)[0]:
-            logits[s] = np.float32(_logit(h['pi'][s]))
-            mu[s] = 0.0
-            eta[s] = 0.0
-            qv[s] = 0.0
-        self._state = CaviState(logits=jnp.asarray(logits), mu=jnp.asarray(mu),
-                                eta=jnp.asarray(eta), q=jnp.asarray(qv))
+        # reset variational state for the restarted lanes (device-side —
+        # avoids a full host round trip of the (S, NB, B) state):
+        mask_dev = jnp.asarray(restart_mask)[:, None, None]
+        fresh_logits = jnp.asarray(_logit(h['pi']), F32)[:, None, None]
+        st = self._state
+        self._state = CaviState(
+            logits=jnp.where(mask_dev, fresh_logits, st.logits),
+            mu=jnp.where(mask_dev, 0.0, st.mu).astype(F32),
+            eta=jnp.where(mask_dev, 0.0, st.eta).astype(F32),
+            q=jnp.where(mask_dev, 0.0, st.q).astype(F32))
         self._sigma_g = np.where(restart_mask, 0.0, self._sigma_g)
 
     def _finalize_history(self, res):
@@ -572,6 +574,25 @@ class VIPRS(BayesPRSModel):
             self.optim_result = OptimizeResult.from_status(
                 code, float(np.asarray(res.final_elbo)[0]),
                 int(np.asarray(res.nit)[0]))
+
+    def pseudo_validate(self, test_gdl=None):
+        """Pseudo-R^2; the internal (PUMAS-split) path runs on device using the
+        cached q — per-model scalars are all that leave the accelerator."""
+        if test_gdl is not None or self.validation_std_beta is None \
+                or self._state is None:
+            return super().pseudo_validate(test_gdl)
+
+        lay = self.dataset.layout
+        r = jnp.asarray(
+            lay.to_flat(self.validation_std_beta).reshape(lay.nb, lay.block_size),
+            F32)
+        mask = self.dataset.ld.mask
+        eta = self._state.eta
+        ldw = self._state.q + eta  # S.b with the cached q (pseudo_metrics.py:130-152)
+        rb = updates.masked_sum(eta * r[None], mask)
+        bsb = updates.masked_sum(eta * ldw, mask)
+        out = np.asarray(rb) ** 2 / np.asarray(bsb)
+        return float(out[0]) if self._S == 1 else out
 
     # ------------------------------------------------------------- checkpoints
     def save_checkpoint(self, f_name):
