@@ -38,6 +38,8 @@ def build_parser():
     parser.add_argument('--custom-sumstats-mapper', dest='custom_mapper', default=None,
                         help="Comma-separated file_col=canonical_col pairs for "
                              "--sumstats-format custom.")
+    parser.add_argument('--custom-sumstats-sep', dest='custom_sep', default=None,
+                        help="Field separator for custom-format sumstats.")
     parser.add_argument('--gwas-sample-size', dest='gwas_n', type=float, default=None,
                         help="Fallback GWAS sample size when the file lacks N.")
     parser.add_argument('--extract', dest='extract_file', default=None,
@@ -64,6 +66,9 @@ def build_parser():
     parser.add_argument('--pathwise', dest='pathwise', action='store_true',
                         help="Serial warm-started grid schedule instead of the "
                              "simultaneous vmapped fit.")
+    parser.add_argument('--grid-search-mode', dest='grid_search_mode',
+                        default=None, choices=['pathwise', 'simultaneous'],
+                        help="Alias for --pathwise (reference flag).")
 
     # grid specification:
     parser.add_argument('--pi-grid', dest='pi_grid', default=None,
@@ -90,7 +95,8 @@ def build_parser():
                         help="Numeric value or 'infer'.")
 
     # ---------------------------- validation --------------------------
-    parser.add_argument('--validation-bed', dest='validation_bed', default=None,
+    parser.add_argument('--validation-bed', '--validation-bfile',
+                        dest='validation_bed', default=None,
                         help="BED fileset with individual-level validation data "
                              "(for --grid-metric validation).")
     parser.add_argument('--validation-pheno', dest='validation_pheno', default=None)
@@ -98,11 +104,22 @@ def build_parser():
     parser.add_argument('--validation-sumstats', dest='validation_sumstats',
                         default=None,
                         help="Independent sumstats for pseudo-validation.")
+    parser.add_argument('--validation-sumstats-format',
+                        dest='validation_sumstats_format', default=None,
+                        help="Format of the validation sumstats (defaults to "
+                             "--sumstats-format).")
+    parser.add_argument('--validation-gwas-sample-size',
+                        dest='validation_gwas_n', type=float, default=None)
+    parser.add_argument('--validation-ld-panel', dest='validation_ld_panel',
+                        default=None,
+                        help="Accepted for reference compatibility; the "
+                             "training LD panel is reused for pseudo-validation.")
     parser.add_argument('--prop-train', dest='prop_train', type=float, default=0.8,
                         help="PUMAS training proportion when splitting sumstats.")
 
     # ------------------------------- fit ------------------------------
     parser.add_argument('--max-iter', dest='max_iter', type=int, default=1000)
+    parser.add_argument('--min-iter', dest='min_iter', type=int, default=3)
     parser.add_argument('--f-abs-tol', dest='f_abs_tol', type=float, default=1e-6)
     parser.add_argument('--x-abs-tol', dest='x_abs_tol', type=float, default=1e-6)
     parser.add_argument('--patience', dest='patience', type=int, default=10)
@@ -115,10 +132,24 @@ def build_parser():
                              "jointly on TPU.")
     parser.add_argument('--genomewide', dest='genomewide', action='store_true',
                         help="Accepted for compatibility (always genome-wide).")
+    parser.add_argument('--backend', dest='backend', default='xarray',
+                        help="Accepted for compatibility; data IO is native.")
+    parser.add_argument('--temp-dir', dest='temp_dir', default='temp',
+                        help="Accepted for compatibility.")
+    parser.add_argument('--use-symmetric-ld', dest='use_symmetric_ld',
+                        action='store_true',
+                        help="Accepted for compatibility; the dense LD tiles "
+                             "are symmetric by construction.")
 
     # ------------------------------ output ----------------------------
-    parser.add_argument('--output-file', dest='output_file', required=True,
+    parser.add_argument('--output-file', dest='output_file', default=None,
                         help="Output prefix (writes <prefix>.fit.gz etc.).")
+    parser.add_argument('--output-dir', dest='output_dir', default=None,
+                        help="Output directory (reference-style; combine with "
+                             "--output-file-prefix).")
+    parser.add_argument('--output-file-prefix', dest='output_prefix',
+                        default='VIPRS',
+                        help="Output file prefix when using --output-dir.")
     parser.add_argument('--output-profiler-metrics', dest='profiler',
                         action='store_true')
     parser.add_argument('--log-level', dest='log_level', default='WARNING')
@@ -132,6 +163,12 @@ def _parse_grid_values(s):
 
 
 def check_args(args):
+    if args.output_file is None:
+        assert args.output_dir, "Provide --output-file or --output-dir."
+        import os.path as _osp
+        args.output_file = _osp.join(args.output_dir, args.output_prefix)
+    if args.grid_search_mode == 'pathwise':
+        args.pathwise = True
     if args.hyp_search in ('GS', 'BMA') and args.model != 'VIPRSGrid':
         args.model = 'VIPRSGrid'
     if args.model == 'VIPRSGrid' and args.hyp_search == 'EM':
@@ -159,6 +196,8 @@ def init_data(args):
     kwargs = {}
     if args.custom_mapper:
         kwargs['column_map'] = dict(kv.split('=') for kv in args.custom_mapper.split(','))
+    if args.custom_sep:
+        kwargs['sep'] = args.custom_sep
 
     loader = GWADataLoader(
         ld_store_files=args.ld_dir,
@@ -189,9 +228,10 @@ def init_data(args):
     validation_ss = None
     if args.validation_sumstats:
         from ..data.sumstats import read_sumstats
-        validation_ss = read_sumstats(args.validation_sumstats,
-                                      sumstats_format=args.sumstats_format,
-                                      n=args.gwas_n)
+        validation_ss = read_sumstats(
+            args.validation_sumstats,
+            sumstats_format=args.validation_sumstats_format or args.sumstats_format,
+            n=args.validation_gwas_n or args.gwas_n)
 
     return loader, validation_gdl, validation_ss
 
@@ -252,7 +292,8 @@ def fit_model(args, model, validation_gdl, validation_ss):
                     "statistics (PUMAS).")
         model.split_gwas_sumstats(prop_train=args.prop_train, seed=args.seed)
 
-    fit_kwargs = dict(max_iter=args.max_iter, f_abs_tol=args.f_abs_tol,
+    fit_kwargs = dict(max_iter=args.max_iter, min_iter=args.min_iter,
+                      f_abs_tol=args.f_abs_tol,
                       x_abs_tol=args.x_abs_tol, patience=args.patience)
     if args.model == 'VIPRSGrid':
         fit_kwargs['pathwise'] = args.pathwise
@@ -287,7 +328,8 @@ def fit_model(args, model, validation_gdl, validation_ss):
                 logger.info("> Restoring full summary statistics and refitting "
                             "the selected model.")
                 model.restore_full_sumstats()
-                model.fit(max_iter=args.max_iter, f_abs_tol=args.f_abs_tol,
+                model.fit(max_iter=args.max_iter, min_iter=args.min_iter,
+                          f_abs_tol=args.f_abs_tol,
                           x_abs_tol=args.x_abs_tol, patience=args.patience)
 
     return model, fit_time
