@@ -83,13 +83,23 @@ class PeakMemoryProfiler:
                 pass
             time.sleep(self.interval)
 
+    def _sample_once(self):
+        try:
+            import psutil
+            self.peak_mb = max(self.peak_mb,
+                               psutil.Process().memory_info().rss / 1024 ** 2)
+        except Exception:
+            pass
+
     def __enter__(self):
         self._stop = threading.Event()
+        self._sample_once()
         self._thread = threading.Thread(target=self._sample, daemon=True)
         self._thread.start()
         return self
 
     def __exit__(self, *exc):
+        self._sample_once()
         self._stop.set()
         self._thread.join(timeout=2.0)
         return False
