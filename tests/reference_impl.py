@@ -145,3 +145,63 @@ def fit(R, std_beta, n_per_snp, pi0, sigma_eps0, tau_beta0,
     return dict(gamma=gamma, mu=mu, eta=eta, q=q, pi=pi, tau_beta=tau_beta,
                 sigma_eps=sigma_eps, sigma_g=sigma_g, elbo=history[-1],
                 history=np.array(history), n_iter=len(history))
+
+
+def seq_e_step_mixture(R, std_beta, n_per_snp, gamma, mu, eta, q,
+                       sigma_eps, tau_beta, pi, lambda_min=0.0):
+    """One strict sequential mixture-CAVI sweep (in place).
+
+    gamma/mu: (M, K); eta/q: (M,); tau_beta/pi: (K,) vectors.
+    Mirrors the published K-component update: softmax over K slab logits plus
+    the null logit log(1 - sum(pi))."""
+    M, K = gamma.shape
+    var_tau = n_per_snp[:, None] * (1.0 + lambda_min) / sigma_eps + tau_beta[None, :]
+    mu_mult = n_per_snp[:, None] / (var_tau * sigma_eps)
+    u_logs = (np.log(pi) - np.log(1.0 - pi))[None, :] \
+        + 0.5 * (np.log(tau_beta)[None, :] - np.log(var_tau))
+    log_null_pi = np.log(1.0 - pi.sum())
+
+    for j in range(M):
+        mu_j = mu_mult[j] * (std_beta[j] - q[j])          # (K,)
+        u_j = u_logs[j] + 0.5 * var_tau[j] * mu_j ** 2    # (K,)
+        logits = np.concatenate([u_j, [log_null_pi]])
+        m_ = logits.max()
+        e = np.exp(logits - m_)
+        g_j = e[:K] / e.sum()
+        d = float(np.dot(g_j, mu_j) - eta[j])
+        mu[j] = mu_j
+        gamma[j] = g_j
+        q += R[:, j] * d
+        q[j] -= d
+        eta[j] += d
+    return var_tau
+
+
+def fit_mixture(R, std_beta, n_per_snp, pis, sigma_eps0, tau_betas, d_mult,
+                lambda_min=0.0, max_iter=200, fix_sigma_eps=None):
+    """Float64 sequential mixture EM fit (test support)."""
+    M = len(std_beta)
+    K = len(pis)
+    pi = np.asarray(pis, dtype=np.float64)
+    tau_beta = np.asarray(tau_betas, dtype=np.float64)
+    d_mult = np.asarray(d_mult, dtype=np.float64)
+    sigma_eps = sigma_eps0 if fix_sigma_eps is None else fix_sigma_eps
+
+    gamma = np.tile(pi[None, :], (M, 1))
+    mu = np.zeros((M, K))
+    eta = np.zeros(M)
+    q = np.zeros(M)
+
+    for it in range(max_iter):
+        var_tau = seq_e_step_mixture(R, std_beta, n_per_snp, gamma, mu, eta, q,
+                                     sigma_eps, tau_beta, pi, lambda_min)
+        zeta_k = (gamma * (mu ** 2 + 1.0 / var_tau)).sum(axis=0)  # (K,)
+        pi = gamma.sum(axis=0) / M
+        tau_est = pi.sum() * M / np.dot(d_mult, zeta_k)
+        tau_beta = np.clip(d_mult * tau_est, 1.0, None)
+        sigma_g = (1.0 + lambda_min) * zeta_k.sum() + q.dot(eta)
+        if fix_sigma_eps is None:
+            sigma_eps = 1.0 - 2.0 * std_beta.dot(eta) + sigma_g
+
+    return dict(gamma=gamma, mu=mu, eta=eta, q=q, pi=pi, tau_beta=tau_beta,
+                sigma_eps=sigma_eps, sigma_g=sigma_g)

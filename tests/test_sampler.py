@@ -78,3 +78,46 @@ class TestHMC:
         sb = np.concatenate([dataset.std_beta[c] for c in dataset.chromosomes])
         r = np.corrcoef(eta[m == 1], sb[m == 1])[0, 1]
         assert r > 0.5
+
+
+class TestMixtureParity:
+
+    def test_mixture_matches_sequential_reference(self, dataset):
+        """VIPRSMix fixed point vs strict sequential float64 mixture CAVI."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import reference_impl as ref
+        from viprs_tpu.model import VIPRSMix
+
+        # dense R for the reference run:
+        sim_blocks = []
+        lay = dataset.layout
+        R = np.zeros((dataset.m, dataset.m))
+        off = 0
+        from viprs_tpu.ops.block_ld import blockld_to_dense
+        Rd = blockld_to_dense(dataset.ld)
+        idx = lay.flat_index
+        R = Rd[np.ix_(idx, idx)]
+        sb = np.concatenate([dataset.std_beta[c] for c in dataset.chromosomes])
+        nn = np.concatenate([dataset.n_per_snp[c] for c in dataset.chromosomes])
+
+        K = 2
+        d = np.array([0.5, 1.0])
+        pis = np.array([0.02, 0.02])
+        taus = d * 800.0
+
+        ref_fit = ref.fit_mixture(R, sb, nn, pis, 0.7, taus, d,
+                                  max_iter=150, fix_sigma_eps=0.7)
+
+        np.random.seed(0)
+        m = VIPRSMix(dataset, K=K, prior_multipliers=d,
+                     fix_params={'sigma_epsilon': 0.7})
+        m.fit(max_iter=300,
+              theta_0={'pis': pis, 'tau_betas': taus, 'sigma_epsilon': 0.7})
+
+        eta_tpu = np.concatenate([m.post_mean_beta[c] for c in m.chromosomes])
+        r = np.corrcoef(eta_tpu, ref_fit['eta'])[0, 1]
+        assert r > 0.99, f"mixture fixed-point correlation too low: {r}"
+        # per-component mass is weakly identified (overlapping slabs); the
+        # total proportion of causal variants is the comparable quantity:
+        np.testing.assert_allclose(m.pi.sum(), ref_fit['pi'].sum(), rtol=0.1)
