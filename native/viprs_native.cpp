@@ -58,7 +58,7 @@ void quantize_int8(const double* x, int64_t n, int8_t* out) {
     for (int64_t i = 0; i < n; ++i) {
         double v = x[i] * 127.0;
         v = v < -127.0 ? -127.0 : (v > 127.0 ? 127.0 : v);
-        out[i] = static_cast<int8_t>(std::lround(v));
+        out[i] = static_cast<int8_t>(std::nearbyint(v));  // round-half-even, matches np.rint
     }
 }
 

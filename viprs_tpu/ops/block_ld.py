@@ -152,7 +152,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def quantize_int8(x: np.ndarray) -> np.ndarray:
-    """Symmetric int8 quantization of correlations in [-1, 1] (scale 1/127)."""
+    """Symmetric int8 quantization of correlations in [-1, 1] (scale 1/127).
+
+    Uses the native OpenMP kernel (native/viprs_native.cpp) when built."""
+    try:
+        from ..data.native import load_native
+        lib = load_native()
+    except Exception:
+        lib = None
+    if lib is not None and x.size >= 1 << 16:
+        src = np.ascontiguousarray(x, dtype=np.float64)
+        out = np.empty(x.shape, dtype=np.int8)
+        lib.quantize_int8(src.ctypes.data_as(lib.f64p), src.size,
+                          out.ctypes.data_as(lib.i8p))
+        return out
     return np.clip(np.rint(x * 127.0), -127, 127).astype(np.int8)
 
 
