@@ -116,6 +116,27 @@ def test_fit_gs_pseudo_validation(pipeline_data):
     assert len(vtab) == 4 and 'ELBO' in vtab.columns
 
 
+def test_fit_gs_validation_criterion(pipeline_data):
+    """End-to-end GS with individual-level validation selection
+    (reference bin/viprs_fit --grid-metric validation)."""
+    tmp = pipeline_data['tmp']
+    out = str(tmp / 'gsv' / 'output')
+    _run(['bin/viprs_fit', '-l', pipeline_data['store'],
+          '-s', pipeline_data['sumstats'],
+          '--output-file', out, '--block-size', '128',
+          '--hyp-search', 'GS', '--pi-steps', '4',
+          '--grid-metric', 'validation',
+          '--validation-bed', pipeline_data['bed'],
+          '--validation-pheno', pipeline_data['pheno'],
+          '--max-iter', '150', '--seed', '7'])
+    assert os.path.exists(out + '.validation')
+    vtab = pd.read_csv(out + '.validation', sep="\t")
+    assert 'Validation_R2' in vtab.columns
+    assert np.isfinite(vtab['Validation_R2']).any()
+    fit_tab = pd.read_csv(out + '.fit.gz', sep="\t")
+    assert np.isfinite(fit_tab['BETA']).all()
+
+
 def test_fit_bma(pipeline_data):
     tmp = pipeline_data['tmp']
     out = str(tmp / 'bma' / 'output')

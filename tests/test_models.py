@@ -185,6 +185,72 @@ class TestVIPRSGrid:
         assert g.n_models == 1
         assert 'Pseudo_Validation_R2' in g.validation_result.columns
 
+    def test_select_validation_criterion(self, tmp_path):
+        """Simultaneous grid fit + selection on individual-level R^2 against a
+        simulated validation BED (the reference's `validation` criterion,
+        grid_utils.py:44-57). Regression test: posterior moments are deferred
+        for S > 1 and must materialize lazily inside predict()."""
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from plink_utils import write_plink_bed
+        from viprs_tpu.data.loader import GWADataLoader
+        import pandas as pd
+
+        rng = np.random.default_rng(33)
+        n, m = 900, 240
+        n_train = 600
+        maf = rng.uniform(0.15, 0.5, m)
+        dosages = rng.binomial(2, maf, size=(n, m)).astype(np.float64)
+        alleles = rng.choice(['A', 'C'], size=m)
+        bim = pd.DataFrame({'CHR': 22, 'SNP': [f'rs{i}' for i in range(m)],
+                            'CM': 0.0, 'POS': np.arange(1, m + 1) * 500,
+                            'A1': alleles,
+                            'A2': np.where(alleles == 'A', 'G', 'T')})
+        beta = np.zeros(m)
+        causal = rng.random(m) < 0.08
+        beta[causal] = rng.standard_normal(causal.sum()) * 0.3
+        x_std = (dosages - dosages.mean(0)) / np.maximum(dosages.std(0), 1e-9)
+        y = x_std @ beta + rng.standard_normal(n)
+
+        # GWAS + LD on the training half:
+        xt, yt = x_std[:n_train], y[:n_train]
+        yt_std = (yt - yt.mean()) / yt.std()
+        std_beta = xt.T @ yt_std / n_train
+        half = m // 2
+        ld_blocks = {22: [xt[:, :half].T @ xt[:, :half] / n_train,
+                          xt[:, half:].T @ xt[:, half:] / n_train]}
+        snp_table = {22: bim[['CHR', 'SNP', 'POS', 'A1', 'A2']].copy()}
+        ds = SummaryStatsDataset.from_dense_blocks(
+            ld_blocks, {22: std_beta},
+            {22: np.full(m, float(n_train))}, snp_table=snp_table,
+            block_size=128)
+
+        # validation BED + phenotype (held-out samples):
+        fam = pd.DataFrame({'FID': [f'F{i}' for i in range(n - n_train)],
+                            'IID': [f'I{i}' for i in range(n - n_train)],
+                            'father': 0, 'mother': 0, 'sex': 1,
+                            'PHENO': y[n_train:]})
+        prefix = str(tmp_path / 'valid')
+        write_plink_bed(prefix, dosages[n_train:], bim, fam)
+        validation_gdl = GWADataLoader(bed_files=prefix)
+
+        np.random.seed(14)
+        g = VIPRSGrid(ds, HyperparameterGrid(pi_steps=4, n_snps=ds.m))
+        g.fit(max_iter=200)
+        assert g.post_mean_beta is None  # moments deferred for S > 1
+        select_best_model(g, validation_gdl=validation_gdl,
+                          criterion='validation')
+        assert g.n_models == 1
+        scores = g.validation_result['Validation_R2'].values
+        assert np.isfinite(scores).any()
+        best = int(np.nanargmax(np.where(np.isfinite(scores), scores, -np.inf)))
+        assert np.isclose(g.pi, g.grid_table.iloc[best]['pi'])
+        # the selected model actually predicts on the held-out samples:
+        prs = g.predict(test_gdl=validation_gdl)
+        assert prs.shape == (n - n_train,)
+        assert np.corrcoef(prs, y[n_train:])[0, 1] ** 2 > 0.02
+
     def test_bma(self, dataset):
         np.random.seed(13)
         g = VIPRSGrid(dataset, self._grid(dataset))

@@ -299,18 +299,21 @@ def fit_model(args, model, validation_gdl, validation_ss):
         fit_kwargs['pathwise'] = args.pathwise
 
     t0 = time.time()
-    try:
-        model.fit(**fit_kwargs)
-    except Exception as e:
-        # reference behavior: on errored fit with sigma_g < 0 and lambda_min == 0,
-        # infer lambda_min from the LD spectrum and refit (bin/viprs_fit:509-521):
-        if getattr(model, 'lambda_min', 1.0) == 0.0:
-            logger.warning("Fit failed (%s); retrying with inferred lambda_min.", e)
-            lam = model.infer_lambda_min() if hasattr(model, 'infer_lambda_min') else 0.0
-            model.set_fixed_params({'lambda_min': lam})
+    model.fit(**fit_kwargs)
+    if model.optim_result.error_on_termination:
+        # The reference's one automatic retry is gated on a specific divergence
+        # signature: sigma_g < 0 with no spectral regularization applied
+        # (bin/viprs_fit:509-521). Anything else is a hard error — do NOT
+        # blanket-catch exceptions here, real bugs must surface as their own
+        # tracebacks.
+        if (np.any(np.atleast_1d(model.sigma_g) < 0)
+                and np.all(np.atleast_1d(model.lambda_min) == 0.0)):
+            logger.warning("> Optimization diverged; retrying with inferred "
+                           "lambda_min (reference behavior).")
+            model.set_fixed_params({'lambda_min': model.infer_lambda_min()})
             model.fit(**fit_kwargs)
         else:
-            raise
+            raise RuntimeError(model.optim_result.message)
     fit_time = time.time() - t0
 
     if args.model == 'VIPRSGrid':

@@ -338,6 +338,12 @@ class GWADataLoader:
     def snps(self):
         return {c: t['SNP'].values for c, t in (self.ld_snp_tables or {}).items()}
 
+    def default_snp_table(self):
+        """Per-chromosome variant tables (LD-store tables when present, BED bim
+        otherwise) — the surface BayesPRSModel.harmonize_data consumes when
+        aligning posterior effect tables with this loader's variants."""
+        return self.to_snp_table(per_chromosome=True)
+
     def to_snp_table(self, col_subset=None, per_chromosome=False):
         tables = {}
         source = self.ld_snp_tables

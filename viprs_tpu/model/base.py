@@ -116,9 +116,16 @@ class BayesPRSModel:
     def get_posterior_variance_beta(self):
         return self.post_var_beta
 
+    def _materialize_posterior_moments(self, means_only=False):
+        """Hook for subclasses that defer posterior-moment materialization
+        (e.g. simultaneous grid fits keep the (S, M) state device-side until a
+        consumer actually needs host arrays). Default: no-op."""
+
     # ---------------------------------------------------------------- prediction
     def predict(self, test_gdl=None):
         """Linear scoring (genotype . beta) on the training or new samples."""
+        if self.post_mean_beta is None:
+            self._materialize_posterior_moments(means_only=True)
         if self.post_mean_beta is None:
             raise ValueError("The posterior means for BETA are not set. Call `.fit()` first.")
 
@@ -186,6 +193,8 @@ class BayesPRSModel:
         """Posterior estimates as (per-chromosome) DataFrames
         (reference BayesPRSModel.py:333-373)."""
         if self.post_mean_beta is None:
+            self._materialize_posterior_moments()
+        if self.post_mean_beta is None:
             raise RuntimeError("The posterior means for BETA are not set. Call `.fit()` first.")
 
         snp_tables = (self.dataset.snp_table if self.dataset.snp_table is not None
@@ -220,6 +229,8 @@ class BayesPRSModel:
         """Summary-statistics-only R^2 (reference BayesPRSModel.py:375-410)."""
         from ..eval.pseudo import pseudo_r2, _streamlined_pseudo_r2
 
+        if self.post_mean_beta is None:
+            self._materialize_posterior_moments(means_only=True)
         assert self.post_mean_beta is not None, \
             "The posterior means for BETA are not set. Call `.fit()` first."
         assert self.validation_std_beta is not None or test_gdl is not None, (

@@ -126,7 +126,14 @@ class VIPRSGrid(VIPRS):
         self.optim_result.fun = float(np.asarray(res.final_elbo).max())
         self.optim_result.stop_iteration = True
         self.optim_result.success = bool(np.any([r.success for r in self.optim_results]))
-        self.optim_result.message = 'Grid fit complete.'
+        # Grid-level error (drives the CLI's gated lambda_min retry): every
+        # grid point terminated with a hard error.
+        self.optim_result.error_on_termination = \
+            not bool(np.any(self.valid_terminated_models))
+        self.optim_result.message = (
+            'Grid fit complete.' if not self.optim_result.error_on_termination
+            else 'All grid points terminated with errors: '
+                 + '; '.join(sorted({r.message for r in self.optim_results})))
 
     def _finalize_history(self, res):
         hist = np.asarray(res.elbo_hist)
@@ -211,8 +218,13 @@ class VIPRSGrid(VIPRS):
         self.optim_result.nit = int(nits.sum())
         self.optim_result.stop_iteration = True
         self.optim_result.success = bool(self.converged_models.any())
+        self.optim_result.error_on_termination = \
+            not bool(np.any(self.valid_terminated_models))
         self.optim_result.fun = float(elbos.max())
-        self.optim_result.message = 'Grid fit complete.'
+        self.optim_result.message = (
+            'Grid fit complete.' if not self.optim_result.error_on_termination
+            else 'All grid points terminated with errors: '
+                 + '; '.join(sorted({r.message for r in self.optim_results})))
         return self
 
     # ------------------------------------------------------------- collapsing

@@ -396,6 +396,20 @@ class VIPRS(BayesPRSModel):
         self.post_var_beta = {c: zeta[c] - self.post_mean_beta[c] ** 2
                               for c in zeta}
 
+    def _materialize_posterior_moments(self, means_only=False):
+        """Simultaneous grid fits (S > 1) defer moment materialization to avoid
+        transferring S full posteriors off-device (see ``fit``). When a consumer
+        (prediction, table I/O, pseudo-validation over an external dataset)
+        needs host arrays, pull them lazily — just the posterior means when
+        ``means_only`` (scoring needs nothing else)."""
+        if self._state is None:
+            return
+        if means_only:
+            if self.post_mean_beta is None:
+                self.post_mean_beta = self.eta
+        elif self.pip is None or self.post_var_beta is None:
+            self.update_posterior_moments()
+
     # ---------------------------------------------------------------- reporting
     def to_theta_table(self):
         import pandas as pd
@@ -514,8 +528,12 @@ class VIPRS(BayesPRSModel):
 
         if self._S == 1:
             self.update_posterior_moments()
-        # (grid models compute posterior moments after collapsing to one model
-        #  — materializing S full posteriors costs GBs of device->host traffic)
+        else:
+            # Grid models materialize moments lazily (see
+            # _materialize_posterior_moments) or after collapsing to one model
+            # — S full posteriors cost GBs of device->host traffic. Clear any
+            # previously materialized host copies so they can't go stale:
+            self.pip = self.post_mean_beta = self.post_var_beta = None
         self._finalize_history(res)
         self._populate_optim_result(res)
 
