@@ -2,8 +2,9 @@
 """Convert external LD stores into the viprs_tpu native block format.
 
 Supports:
-- magenpy Zarr-backed banded stores (requires the `zarr` package) — the format
-  of the published UKB LD panels consumed by the reference;
+- magenpy Zarr-backed banded stores (read with the built-in dependency-free
+  Zarr v2 reader) — the format of the published UKB LD panels consumed by the
+  reference;
 - plain banded .npz files with arrays (data, indptr, left_bound).
 
 The banded matrix is cut into dense block-diagonal pieces at zero-coupling
@@ -27,45 +28,12 @@ import numpy as np  # noqa: E402
 def banded_to_blocks(data, indptr, left_bound):
     """Cut a banded symmetric matrix into exact diagonal blocks at points
     where no stored entry crosses the boundary. Returns list of dense blocks,
-    or None if the band never pinches off."""
-    m = len(indptr) - 1
-    data = np.asarray(data)
-    if data.dtype == np.int8:
-        data = data.astype(np.float64) / 127.0
-    indptr = np.asarray(indptr)
-    left = np.asarray(left_bound)
-    widths = np.diff(indptr)
-    right = left + widths  # exclusive right edge per row
-
-    # running max of right edge; a cut is possible at j when max(right[:j]) <= j
-    cuts = [0]
-    run_max = 0
-    for j in range(m):
-        if run_max <= j and j > cuts[-1]:
-            cuts.append(j)
-        run_max = max(run_max, int(right[j]))
-    cuts.append(m)
-    cuts = sorted(set(cuts))
-    if len(cuts) <= 2 and m > 5000:
-        return None  # no usable block structure
-
-    blocks = []
-    for lo, hi in zip(cuts[:-1], cuts[1:]):
-        if hi <= lo:
-            continue
-        blk = np.zeros((hi - lo, hi - lo))
-        for j in range(lo, hi):
-            row = data[indptr[j]:indptr[j + 1]]
-            cols = np.arange(left[j], left[j] + len(row))
-            sel = (cols >= lo) & (cols < hi)
-            blk[j - lo, cols[sel] - lo] = row[sel]
-        # symmetrize (upper-triangular stores):
-        blk = np.maximum(blk, blk.T) * (np.abs(blk) >= np.abs(blk.T)) + \
-            np.minimum(blk, blk.T) * (np.abs(blk) < np.abs(blk.T))
-        blk = np.where(blk != 0, blk, blk.T)
-        np.fill_diagonal(blk, 1.0)
-        blocks.append(blk)
-    return blocks
+    or None if the band never pinches off (caller keeps it banded)."""
+    from viprs_tpu.data.ld_store import banded_to_blocks as _b2b
+    try:
+        return _b2b(data, indptr, left_bound)
+    except ValueError:
+        return None
 
 
 def main():

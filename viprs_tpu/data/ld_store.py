@@ -6,8 +6,9 @@ variant table — directly re-packable into the TPU BlockLD tiles.
 
 Ingestion of the reference ecosystem's stores (magenpy Zarr-backed banded
 matrices, int8-quantized; consumed surface at SURVEY.md §2.6) is provided via
-:func:`load_magenpy_zarr`, gated on the optional ``zarr`` dependency (not
-available in every environment).
+:func:`load_magenpy_zarr`, built on the dependency-free Zarr v2 reader in
+:mod:`viprs_tpu.data.zarr_v2` (no ``zarr`` package needed); the inverse
+:func:`save_magenpy_zarr` exports native data back into that layout.
 """
 
 import json
@@ -80,51 +81,233 @@ def load_ld_store(path, chromosomes=None):
     return chrom_blocks, (snp_tables or None)
 
 
-def load_magenpy_zarr(path):
-    """Ingest a magenpy-format Zarr LD store (banded, int8-quantized).
+def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
+    """Cut a banded symmetric LD matrix into exact dense diagonal blocks at
+    points where no stored entry crosses the boundary (LDetect-style block
+    stores pinch off at every block edge, so this is lossless for them).
 
-    Layout (per magenpy LDMatrix): a Zarr group with ``matrix/data``,
-    ``matrix/indptr`` arrays and a variant metadata group. Returns
-    (banded {c: (data, indptr, left_bound)}, snp_tables).
-
-    Requires the optional ``zarr`` package.
+    :param data, indptr, left_bound: symmetric-row banded arrays (diagonal
+        included; rows may cover the full window or only the upper triangle).
+    :param max_dense_block: guard — a segment wider than this (a windowed
+        estimator's band never pinches off) raises instead of materializing a
+        huge dense block.
+    :returns: list of dense float64 (m_i, m_i) blocks.
     """
-    try:
-        import zarr  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "Reading magenpy Zarr LD stores requires the `zarr` package, which "
-            "is not installed in this environment. Convert the store to the "
-            "native format (see tools/convert_ld_store.py) on a machine with "
-            "zarr, or install zarr.") from e
+    data = np.asarray(data)
+    if data.dtype == np.int8:
+        data = data.astype(np.float64) / 127.0
+    indptr = np.asarray(indptr)
+    left = np.asarray(left_bound)
+    m = len(indptr) - 1
+    widths = np.diff(indptr)
+    right = left + widths                       # exclusive right edge per row
+    runmax = np.maximum.accumulate(right)
 
-    g = zarr.open(path, mode='r')
-    data = np.asarray(g['matrix/data'])
-    indptr = np.asarray(g['matrix/indptr'])
+    cuts = [0]
+    cut_points = np.nonzero(runmax[:-1] <= np.arange(1, m))[0] + 1
+    cuts.extend(int(c) for c in cut_points)
+    cuts.append(m)
+    cuts = sorted(set(cuts))
+
+    blocks = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        width = hi - lo
+        if width > max_dense_block:
+            raise ValueError(
+                f"LD band segment [{lo}, {hi}) is {width} variants wide and "
+                f"never pinches off — this looks like a windowed (non-block) "
+                f"LD estimator. Pack it block-banded via "
+                f"SummaryStatsDataset.from_banded instead of densifying.")
+        blk = np.zeros((width, width))
+        for j in range(lo, hi):
+            row = data[indptr[j]:indptr[j + 1]]
+            cols = np.arange(left[j], left[j] + len(row))
+            sel = cols >= j            # upper triangle; symmetry fills the rest
+            blk[j - lo, cols[sel] - lo] = row[sel]
+        blk = blk + blk.T - np.diag(np.diag(blk))
+        np.fill_diagonal(blk, 1.0)
+        blocks.append(blk)
+    return blocks
+
+
+def _read_meta_array(g, names):
+    """Read the first present metadata array among alias ``names``."""
+    for name in names:
+        key = f'metadata/{name}'
+        if key in g:
+            return np.asarray(g[key][...])
+    return None
+
+
+def load_magenpy_zarr(path):
+    """Ingest a magenpy-format Zarr LD store (banded, int8/int16-quantized).
+
+    Layout (magenpy LDMatrix; reference use-site viprs/model/VIPRS.py:147-207):
+    a Zarr v2 group with ``matrix/data`` (concatenated banded rows) and
+    ``matrix/indptr`` (CSR-like row pointers), a ``metadata`` group with
+    per-variant arrays including the LD boundaries, and root attributes
+    (``Chromosome``, ``Sample size``, ...). Read with the built-in
+    dependency-free Zarr v2 reader (:mod:`viprs_tpu.data.zarr_v2`) — no
+    ``zarr`` package needed.
+
+    Row semantics are *validated, never guessed*: the LD-boundary metadata must
+    be present and consistent with the indptr row widths, identifying the store
+    as either symmetric (row j spans ``[bounds[0, j], bounds[1, j])``) or
+    upper-triangular/low-memory (row j spans ``(j, bounds[1, j})``, diagonal
+    excluded; magenpy ``load(return_symmetric=False)``). Anything else is a
+    hard error — a mis-read band would silently corrupt every downstream
+    posterior.
+
+    :returns: (banded {chrom: (data, indptr, left_bound)} with symmetric-row
+        semantics and the diagonal included, snp_tables {chrom: DataFrame} or
+        None). Integer data other than int8 is dequantized to float32.
+    """
+    from . import zarr_v2
+
+    g = zarr_v2.open_group(path)
+    if 'matrix/data' not in g or 'matrix/indptr' not in g:
+        raise ValueError(
+            f"{path}: not a magenpy LD store (missing matrix/data or "
+            f"matrix/indptr Zarr arrays).")
+    data = np.asarray(g['matrix/data'][...])
+    indptr = np.asarray(g['matrix/indptr'][...])
     attrs = dict(g.attrs)
     chrom = attrs.get('Chromosome', 0)
+    try:
+        chrom = int(chrom)
+    except (TypeError, ValueError):
+        pass
 
-    meta = {}
-    for key in ('SNP', 'A1', 'A2', 'BP', 'LD boundaries'):
-        if f'metadata/{key.lower().replace(" ", "_")}' in g:
-            meta[key] = np.asarray(g[f'metadata/{key.lower().replace(" ", "_")}'])
+    m = len(indptr) - 1
+    widths = np.diff(indptr)
 
-    if 'LD boundaries' in meta:
-        left_bound = meta['LD boundaries'][0]
+    bounds = _read_meta_array(g, ('ld_boundaries', 'LD boundaries', 'ldb'))
+    if bounds is None:
+        raise ValueError(
+            f"{path}: the LD store has no LD-boundary metadata "
+            f"(metadata/ld_boundaries). Row start positions cannot be "
+            f"inferred from row widths without silently corrupting the "
+            f"matrix; refusing to load. If this store was produced by an "
+            f"unsupported magenpy version, re-export it with boundaries.")
+    bounds = np.asarray(bounds)
+    if bounds.shape != (2, m):
+        raise ValueError(
+            f"{path}: LD-boundary metadata has shape {bounds.shape}; "
+            f"expected (2, {m}) [start, end) per variant.")
+
+    j = np.arange(m)
+    if np.array_equal(widths, bounds[1] - bounds[0]):
+        # symmetric rows starting at the left boundary (incl. diagonal):
+        left_bound = bounds[0].astype(np.int64)
+        if np.any(left_bound > j):
+            raise ValueError(f"{path}: symmetric-row left boundary exceeds "
+                             f"the diagonal for some variants; store corrupt?")
+    elif np.array_equal(widths, np.maximum(bounds[1] - (j + 1), 0)):
+        # upper-triangular (low-memory) rows: (j, end); re-prepend the
+        # diagonal so downstream packing sees symmetric-row semantics:
+        if np.issubdtype(data.dtype, np.integer):
+            diag_val = np.iinfo(data.dtype).max
+        else:
+            diag_val = 1.0
+        new_indptr = np.zeros(m + 1, dtype=np.int64)
+        new_indptr[1:] = np.cumsum(widths + 1)
+        new_data = np.empty(int(new_indptr[-1]), dtype=data.dtype)
+        for row in range(m):
+            s, e = int(new_indptr[row]), int(new_indptr[row + 1])
+            new_data[s] = diag_val
+            new_data[s + 1:e] = data[indptr[row]:indptr[row + 1]]
+        data, indptr = new_data, new_indptr
+        left_bound = j.astype(np.int64)
     else:
-        # symmetric banded store: infer left bounds from row widths
-        widths = np.diff(indptr)
-        left_bound = np.arange(len(widths)) - (widths - 1) // 2
-        left_bound = np.maximum(left_bound, 0)
+        raise ValueError(
+            f"{path}: indptr row widths match neither symmetric "
+            f"(end-start) nor upper-triangular (end-j-1) LD-boundary "
+            f"semantics; refusing to guess the row layout.")
 
+    # Dequantize non-int8 integer storage (the packer handles int8 natively;
+    # reference dequantization scale is 1/iinfo(dtype).max, VIPRS.py:201-207):
+    if np.issubdtype(data.dtype, np.integer) and data.dtype != np.int8:
+        data = data.astype(np.float32) / np.iinfo(data.dtype).max
+
+    snps = _read_meta_array(g, ('snps', 'snp', 'SNP'))
     snp_tables = None
-    if 'SNP' in meta:
-        snp_tables = {chrom: pd.DataFrame({
-            'CHR': chrom,
-            'SNP': meta['SNP'].astype(str),
-            'POS': meta.get('BP', np.arange(len(meta['SNP']))),
-            'A1': meta.get('A1', np.repeat('A', len(meta['SNP']))).astype(str),
-            'A2': meta.get('A2', np.repeat('G', len(meta['SNP']))).astype(str),
-        })}
+    if snps is not None:
+        a1 = _read_meta_array(g, ('a1', 'A1'))
+        a2 = _read_meta_array(g, ('a2', 'A2'))
+        bp = _read_meta_array(g, ('bp', 'BP', 'pos'))
+        tab = {'CHR': chrom, 'SNP': np.asarray(snps).astype(str),
+               'POS': (np.asarray(bp, dtype=np.int64) if bp is not None
+                       else np.arange(m, dtype=np.int64))}
+        if a1 is not None:
+            tab['A1'] = np.asarray(a1).astype(str)
+        if a2 is not None:
+            tab['A2'] = np.asarray(a2).astype(str)
+        for extra in ('maf', 'cm', 'ldscore'):
+            vals = _read_meta_array(g, (extra,))
+            if vals is not None:
+                tab[extra.upper() if extra != 'ldscore' else 'LDSCORE'] = \
+                    np.asarray(vals)
+        snp_tables = {chrom: pd.DataFrame(tab)}
 
     return {chrom: (data, indptr, left_bound)}, snp_tables
+
+
+def save_magenpy_zarr(path, data, indptr, left_bound, snp_table=None,
+                      chrom=0, sample_size=None, triangular=False):
+    """Export banded LD (symmetric-row semantics, diagonal included) as a
+    magenpy-layout Zarr v2 store — the inverse of :func:`load_magenpy_zarr`.
+
+    Used to build byte-real test fixtures and to hand results back to the
+    reference ecosystem.
+
+    :param triangular: write the low-memory (upper-triangular, diagonal
+        excluded) row layout instead of symmetric rows.
+    """
+    from . import zarr_v2
+
+    data = np.asarray(data)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    left_bound = np.asarray(left_bound, dtype=np.int64)
+    m = len(indptr) - 1
+    widths = np.diff(indptr)
+    bounds = np.stack([left_bound, left_bound + widths]).astype(np.int64)
+
+    if triangular:
+        j = np.arange(m)
+        tri_parts, tri_indptr = [], np.zeros(m + 1, dtype=np.int64)
+        for row in range(m):
+            vals = data[indptr[row]:indptr[row + 1]]
+            cols = np.arange(left_bound[row], left_bound[row] + len(vals))
+            keep = cols > row
+            tri_parts.append(vals[keep])
+            tri_indptr[row + 1] = tri_indptr[row] + keep.sum()
+        out_data = (np.concatenate(tri_parts) if tri_parts
+                    else np.zeros(0, data.dtype))
+        out_indptr = tri_indptr
+        # boundaries keep the *symmetric* window semantics (start, end):
+        bounds = np.stack([left_bound, np.maximum(bounds[1], j + 1)])
+    else:
+        out_data, out_indptr = data, indptr
+
+    zarr_v2.write_group_attrs(path, {
+        'Chromosome': int(chrom) if np.isreal(chrom) else str(chrom),
+        'Sample size': sample_size,
+        'LD estimator': 'block',
+        'Store format': 'viprs_tpu-export'})
+    chunk = max(1, min(len(out_data), 1 << 20))
+    zarr_v2.write_array(path, 'matrix/data', out_data, chunks=(chunk,))
+    zarr_v2.write_array(path, 'matrix/indptr', out_indptr,
+                        chunks=(len(out_indptr),))
+    zarr_v2.write_array(path, 'metadata/ld_boundaries', bounds,
+                        chunks=bounds.shape)
+    if snp_table is not None:
+        zarr_v2.write_array(path, 'metadata/snps',
+                            np.asarray(snp_table['SNP'], dtype=object))
+        for col, key in (('A1', 'a1'), ('A2', 'a2'), ('POS', 'bp'),
+                         ('MAF', 'maf')):
+            if col in snp_table.columns:
+                vals = snp_table[col].values
+                if vals.dtype == object or vals.dtype.kind in 'US':
+                    vals = np.asarray(vals, dtype=object)
+                zarr_v2.write_array(path, f'metadata/{key}', vals)
+    return path

@@ -101,9 +101,11 @@ class GWADataLoader:
                     if tables:
                         self.ld_snp_tables.update(tables)
                 else:
+                    # magenpy Zarr store (the published UKB panels' format):
                     banded, tables = ld_store_mod.load_magenpy_zarr(store)
-                    # convert banded to blocks lazily at pack time:
-                    self._banded = banded
+                    for c, (data, indptr, left) in banded.items():
+                        self.ld_blocks[c] = ld_store_mod.banded_to_blocks(
+                            data, indptr, left)
                     if tables:
                         self.ld_snp_tables.update(tables)
             if not self.ld_snp_tables:
