@@ -95,14 +95,16 @@ def main():
         try:
             out, _ = fn(ld, state, sb, nf, hyper, act, tile=tile,
                         inner_steps=inner)
-            jax.block_until_ready(out.eta)
+            # axon runtime: block_until_ready does not actually block; force a
+            # scalar device->host read to drain the pipeline before timing.
+            float(np.asarray(out.eta)[0, 0, 0])
             n_rep = 20
             t0 = time.time()
             cur = state
             for _ in range(n_rep):
                 cur, _ = fn(ld, cur, sb, nf, hyper, act, tile=tile,
                             inner_steps=inner)
-            jax.block_until_ready(cur.eta)
+            float(np.asarray(cur.eta)[0, 0, 0])
             dt = (time.time() - t0) / n_rep
         except Exception as e:
             print(f"{impl} S={S} quant={quantize} tile={tile} inner={inner}: "

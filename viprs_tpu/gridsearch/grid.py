@@ -1,122 +1,146 @@
 """Hyperparameter grid construction for grid-search VIPRS models.
 
-Parity with the reference's gridsearch/HyperparameterGrid.py: h2-informed grids
-for sigma_epsilon and tau_beta (normal percentiles of the (h2_est, h2_se)
-estimate), log-spaced pi grids bounded by [10/M, min(1e4/M, 0.2)], and lambda_min
-grids scaled by an empirical minimum eigenvalue; Cartesian combination.
+Parity surface with the reference's gridsearch/HyperparameterGrid.py: the same
+grid *math* is mandated (h2-informed sigma_epsilon/tau_beta grids from normal
+percentiles of the (h2_est, h2_se) estimate, log-spaced pi grids bounded by
+[10/M, min(1e4/M, 0.2)], lambda_min grids scaled by an empirical minimum
+eigenvalue, Cartesian combination) — but the construction is organized
+declaratively: each hyperparameter is an entry in a generator registry, and
+the grid state is one name->values dict rather than four parallel attributes.
 """
-
-import itertools
 
 import numpy as np
 import pandas as pd
 
+# Hyperparameters a grid can span, in the reference's column order.
+GRID_PARAMS = ('sigma_epsilon', 'tau_beta', 'pi', 'lambda_min')
+
+
+def h2_percentile_values(h2_est, h2_se, steps):
+    """Heritability values at evenly spaced percentiles of the N(h2_est, h2_se)
+    sampling distribution, clipped to the [10th, 90th] percentile window."""
+    if steps <= 0:
+        raise ValueError("steps must be positive")
+    if not 0.0 < h2_est < 1.0:
+        raise ValueError(f"h2_est must be in (0, 1); got {h2_est}")
+    h2_se = h2_se if h2_se is not None else 0.5 * h2_est
+    if h2_se <= 0:
+        raise ValueError(f"h2_se must be positive; got {h2_se}")
+
+    from scipy.stats import norm
+
+    dist = norm(loc=h2_est, scale=h2_se)
+    lo = max(0.1, dist.cdf(1e-5))
+    hi = min(0.9, dist.cdf(1.0 - 1e-5))
+    return dist.ppf(np.linspace(lo, hi, steps))
+
+
+def pi_log_grid(n_snps, steps, max_pi=0.2):
+    """Log-spaced pi grid over the reference's initialization bounds
+    [max(10/M, 1e-5), min(1e4/M, max_pi)]."""
+    if steps <= 0:
+        raise ValueError("steps must be positive")
+    lo = max(10.0 / n_snps, 1e-5)
+    hi = min(1e4 / n_snps, max_pi)
+    if lo >= hi:
+        raise ValueError(f"degenerate pi bounds [{lo}, {hi}] at M={n_snps}")
+    return np.logspace(np.log10(lo), np.log10(hi), steps)
+
+
+def lambda_min_grid(steps, emp_lambda_min=None):
+    """{0} followed by steps-1 log-spaced multipliers of the empirical minimum
+    eigenvalue (or raw values when none is given)."""
+    if steps <= 0:
+        raise ValueError("steps must be positive")
+    vals = np.concatenate([[0.0], np.logspace(-4, 1.0, steps - 1)])
+    return vals if emp_lambda_min is None else vals * emp_lambda_min
+
 
 class HyperparameterGrid:
-    """
-    :ivar sigma_epsilon: grid for the residual variance.
-    :ivar tau_beta: grid for the prior effect-size precision.
-    :ivar pi: grid for the proportion of causal variants.
-    :ivar lambda_min: grid for the spectral (ridge) regularizer.
-    :ivar h2_est, h2_se: heritability estimate and standard error informing the
-        sigma_epsilon / tau_beta grids.
-    :ivar n_snps: variant count used for scale-aware grid bounds.
+    """Grid over (a subset of) sigma_epsilon / tau_beta / pi / lambda_min.
+
+    Each parameter is either given explicitly (``<name>_grid=values``) or
+    generated from a step count (``<name>_steps=k``) using the registry of
+    generators above; unspecified parameters stay out of the grid (the model
+    learns them in its M-step).
+
+    :ivar h2_est, h2_se: heritability estimate (+SE) informing the
+        sigma_epsilon / tau_beta generators.
+    :ivar n_snps: variant count for scale-aware pi bounds.
     """
 
-    def __init__(self,
-                 sigma_epsilon_grid=None,
-                 sigma_epsilon_steps=None,
-                 tau_beta_grid=None,
-                 tau_beta_steps=None,
-                 pi_grid=None,
-                 pi_steps=None,
-                 lambda_min_grid=None,
-                 lambda_min_steps=None,
-                 h2_est=None,
-                 h2_se=None,
-                 n_snps=1e6):
-
-        self.h2_est = h2_est or 0.1
-        self.h2_se = h2_se or 0.1
+    def __init__(self, h2_est=None, h2_se=None, n_snps=1e6, **spec):
+        self.h2_est = h2_est if h2_est is not None else 0.1
+        self.h2_se = h2_se if h2_se is not None else 0.1
         self.n_snps = n_snps
-        self._search_params = []
+        self._grids = {}   # name -> 1-D value array, insertion-ordered
 
-        self.sigma_epsilon = sigma_epsilon_grid
-        if self.sigma_epsilon is not None:
-            self._search_params.append('sigma_epsilon')
-        elif sigma_epsilon_steps is not None:
-            self.generate_sigma_epsilon_grid(steps=sigma_epsilon_steps)
+        unknown = {k for k in spec
+                   if not (k.endswith('_grid') or k.endswith('_steps'))
+                   or k.rsplit('_', 1)[0] not in GRID_PARAMS}
+        if unknown:
+            raise TypeError(f"Unknown grid spec arguments: {sorted(unknown)}")
 
-        self.tau_beta = tau_beta_grid
-        if self.tau_beta is not None:
-            self._search_params.append('tau_beta')
-        elif tau_beta_steps is not None:
-            self.generate_tau_beta_grid(steps=tau_beta_steps)
+        for name in GRID_PARAMS:
+            explicit = spec.get(f'{name}_grid')
+            steps = spec.get(f'{name}_steps')
+            if explicit is not None:
+                self._grids[name] = np.asarray(explicit, dtype=np.float64)
+            elif steps is not None:
+                self._generate(name, steps)
 
-        self.pi = pi_grid
-        if self.pi is not None:
-            self._search_params.append('pi')
-        elif pi_steps is not None:
-            self.generate_pi_grid(steps=pi_steps)
-
-        self.lambda_min = lambda_min_grid
-        if self.lambda_min is not None:
-            self._search_params.append('lambda_min')
-        elif lambda_min_steps is not None:
-            self.generate_lambda_min_grid(steps=lambda_min_steps)
-
-    def _generate_h2_grid(self, steps=5):
-        """Heritability values at evenly spaced percentiles (10th-90th) of the
-        N(h2_est, h2_se) sampling distribution."""
-        assert steps > 0
-        h2_se = self.h2_se if self.h2_se is not None else self.h2_est * 0.5
-        assert 0. < self.h2_est < 1.
-        assert h2_se > 0
-
-        from scipy.stats import norm
-
-        p_start = max(0.1, norm.cdf(1e-5, loc=self.h2_est, scale=h2_se))
-        p_stop = min(0.9, norm.cdf(1. - 1e-5, loc=self.h2_est, scale=h2_se))
-        return norm.ppf(np.linspace(p_start, p_stop, steps),
-                        loc=self.h2_est, scale=h2_se)
+    # ------------------------------------------------------------- generators
+    def _generate(self, name, steps, **kwargs):
+        if name == 'sigma_epsilon':
+            values = 1.0 - h2_percentile_values(self.h2_est, self.h2_se, steps)
+        elif name == 'tau_beta':
+            # the reference's convention: ~1% of variants causal
+            values = 0.01 * self.n_snps / h2_percentile_values(
+                self.h2_est, self.h2_se, steps)
+        elif name == 'pi':
+            values = pi_log_grid(self.n_snps, steps, **kwargs)
+        elif name == 'lambda_min':
+            values = lambda_min_grid(steps, **kwargs)
+        else:
+            raise KeyError(name)
+        self._grids[name] = values
+        return values
 
     def generate_sigma_epsilon_grid(self, steps=5):
-        self.sigma_epsilon = 1. - self._generate_h2_grid(steps)
-        if 'sigma_epsilon' not in self._search_params:
-            self._search_params.append('sigma_epsilon')
+        self._generate('sigma_epsilon', steps)
 
     def generate_tau_beta_grid(self, steps=5):
-        # assumes ~1% of variants are causal:
-        self.tau_beta = 0.01 * self.n_snps / self._generate_h2_grid(steps)
-        if 'tau_beta' not in self._search_params:
-            self._search_params.append('tau_beta')
+        self._generate('tau_beta', steps)
 
     def generate_pi_grid(self, steps=5, max_pi=0.2):
-        assert steps > 0
-        min_pi = np.log10(max(10. / self.n_snps, 1e-5))
-        max_pi = np.log10(min(10000 / self.n_snps, max_pi))
-        assert min_pi < max_pi
-        self.pi = np.logspace(min_pi, max_pi, steps)
-        if 'pi' not in self._search_params:
-            self._search_params.append('pi')
+        self._generate('pi', steps, max_pi=max_pi)
 
     def generate_lambda_min_grid(self, steps=5, emp_lambda_min=None):
-        assert steps > 0
-        self.lambda_min = np.concatenate([[0.], np.logspace(-4, 1., steps - 1)])
-        if emp_lambda_min is not None:
-            self.lambda_min *= emp_lambda_min
-        if 'lambda_min' not in self._search_params:
-            self._search_params.append('lambda_min')
+        self._generate('lambda_min', steps, emp_lambda_min=emp_lambda_min)
 
+    # ------------------------------------------------------------- accessors
+    def __getattr__(self, name):
+        # attribute-style access to the grid values (reference API surface):
+        if name in GRID_PARAMS:
+            return self.__dict__.get('_grids', {}).get(name)
+        raise AttributeError(name)
+
+    @property
+    def n_models(self):
+        n = 1
+        for v in self._grids.values():
+            n *= len(v)
+        return n
+
+    # ------------------------------------------------------------ combination
     def combine_grids(self):
-        """Cartesian product of the active grids as a list of dicts."""
-        hyp_names = [name for name, value in self.__dict__.items()
-                     if value is not None and name in self._search_params]
-        if not hyp_names:
+        """Cartesian product of the active grids as a list of row dicts."""
+        if not self._grids:
             raise ValueError("All the grids are empty!")
-        hyp_values = itertools.product(
-            *[grid for name, grid in self.__dict__.items() if name in hyp_names])
-        return [dict(zip(hyp_names, vals)) for vals in hyp_values]
+        names = list(self._grids)
+        mesh = np.meshgrid(*(self._grids[n] for n in names), indexing='ij')
+        flat = [m.reshape(-1) for m in mesh]
+        return [dict(zip(names, row)) for row in zip(*flat)]
 
     def to_table(self):
         return pd.DataFrame(self.combine_grids())
