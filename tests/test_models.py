@@ -68,6 +68,30 @@ class TestVIPRS:
         assert len(m.history['pi']) == len(m.history['ELBO'])
         assert len(m.history['sigma_epsilon']) > 1
 
+    def test_chunked_equals_fused(self, dataset):
+        """Tracking runs the SAME fused loop in chunks of 1; the carried
+        convergence-ladder counters make the trajectory identical to a single
+        dispatch (one optimizer, one behavior)."""
+        np.random.seed(31)
+        m1 = VIPRS(dataset)
+        m1.fit(max_iter=80)
+        np.random.seed(31)
+        m2 = VIPRS(dataset, tracked_params=['pi', 'heritability'])
+        m2.fit(max_iter=80)
+        np.testing.assert_allclose(m1.history['ELBO'], m2.history['ELBO'],
+                                   rtol=1e-12)
+        assert m1.optim_result.nit == m2.optim_result.nit
+        assert m1.optim_result.message == m2.optim_result.message
+        assert len(m2.history['pi']) == len(m2.history['ELBO'])
+
+    def test_progress_callback(self, dataset):
+        np.random.seed(32)
+        seen = []
+        m = VIPRS(dataset)
+        m.fit(max_iter=60,
+              progress_callback=lambda model, it, statuses: seen.append(it))
+        assert seen and seen[-1] == m.optim_result.nit
+
     def test_to_table_roundtrip(self, dataset, tmp_path):
         np.random.seed(3)
         m = VIPRS(dataset)
@@ -156,6 +180,23 @@ class TestVIPRSGrid:
         # per-model posterior matrices:
         for c, sz in g.shapes.items():
             assert g.var_gamma[c].shape == (sz, 4)
+
+    def test_grid_chunked_matches_fused(self, dataset):
+        """A stiff grid (fixed hyperparameters -> stall damping engages) gives
+        the same per-model outcomes whether run in one dispatch or chunks."""
+        np.random.seed(41)
+        g1 = VIPRSGrid(dataset, self._grid(dataset))
+        g1.fit(max_iter=150)
+        np.random.seed(41)
+        g2 = VIPRSGrid(dataset, self._grid(dataset))
+        g2.fit(max_iter=150, chunk_iters=7)
+        np.testing.assert_allclose(np.asarray(g1._last_result.final_elbo),
+                                   np.asarray(g2._last_result.final_elbo),
+                                   rtol=1e-12)
+        assert [r.success for r in g1.optim_results] == \
+            [r.success for r in g2.optim_results]
+        np.testing.assert_array_equal(np.asarray(g1._last_result.nit),
+                                      np.asarray(g2._last_result.nit))
 
     def test_pathwise_fit(self, dataset):
         np.random.seed(10)

@@ -11,9 +11,10 @@ Differences from the reference, by design:
   (deterministic); the oscillation backoff becomes damping escalation in-graph;
 - ``low_memory`` / ``dequantize_on_the_fly`` are dataset-level choices (pack the
   LD with ``quantize=True``); the arguments are accepted for API compatibility;
-- per-iteration hyperparameter tracking (``tracked_params``) runs the loop in
-  host-stepped mode (one device roundtrip per iteration) since the fused loop
-  only records the ELBO trajectory.
+- per-iteration hyperparameter tracking (``tracked_params``) and live progress
+  reporting run the SAME fused loop in bounded chunks (the convergence-ladder
+  counters carry across chunk boundaries), so every mode shares one optimizer
+  with identical behavior.
 """
 
 import logging
@@ -471,60 +472,118 @@ class VIPRS(BayesPRSModel):
             x_abs_tol=1e-6,
             patience=10,
             max_restarts=1,
+            chunk_iters=None,
+            progress_callback=None,
             **kwargs):
         """Variational EM fit (reference VIPRS.py:909-1124).
 
-        The loop is fused on device; the host handles the restart-on-negative-MSE
-        path (re-initialize with sigma_epsilon fixed at 0.95, VIPRS.py:1025-1038).
+        One driver for every mode: the fused on-device loop (ops/em_loop.py)
+        runs in bounded chunks whose convergence-ladder state (patience /
+        oscillation / stall / damping counters) carries across chunk
+        boundaries, so a chunked run is iteration-for-iteration identical to a
+        single fused dispatch. Chunk size:
+
+        - no tracking, no progress -> one chunk of ``max_iter`` (one dispatch);
+        - ``disable_pbar=False`` or ``progress_callback`` -> chunks of 25,
+          with live ELBO reporting between chunks (reference tqdm parity,
+          VIPRS.py:972-1019);
+        - ``tracked_params`` -> chunks of 1 (exact per-iteration history).
+
+        The host handles restart-on-negative-MSE (re-initialize with
+        sigma_epsilon fixed at 0.95, VIPRS.py:1025-1038).
         """
         if not continued:
             self.initialize(theta_0, param_0)
         self._refresh_inputs()
 
-        if self.tracked_params:
-            return self._fit_stepwise(max_iter, min_iter, f_abs_tol, x_abs_tol,
-                                      patience, continued=continued,
-                                      theta_0=theta_0, param_0=param_0,
-                                      max_restarts=max_restarts)
+        if chunk_iters is None:
+            if self.tracked_params:
+                chunk_iters = 1
+            elif not disable_pbar or progress_callback is not None:
+                chunk_iters = 25
+            else:
+                chunk_iters = max_iter
+        chunk_iters = max(1, min(chunk_iters, max_iter))
 
-        init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
-        restarts = 0
-        active0 = jnp.ones(self._S, bool)
-
+        S = self._S
         # The Pallas sweep kernel (VMEM-resident per-block state, MXU rank-T
         # updates) wins decisively for wide model grids on TPU (~3x at S=100);
         # the XLA sweep wins at S=1.
-        use_pallas = (self._S >= 8
-                      and jax.default_backend() in ('tpu', 'axon'))
+        use_pallas = (S >= 8 and jax.default_backend() in ('tpu', 'axon'))
 
-        while True:
+        init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
+        if not continued or not self.history.get('ELBO'):
+            self.history['ELBO'] = [init_elbo[0] if S == 1 else init_elbo]
+        self._track_iteration()
+
+        counters = em_loop.init_counters(S)
+        active = jnp.ones(S, bool)
+        restarts = 0
+        it_done = 0
+        pbar = self._make_pbar(max_iter) if not disable_pbar else None
+
+        while it_done < max_iter:
+            this_chunk = min(chunk_iters, max_iter - it_done)
             res = em_loop.em_fit(
                 self.dataset.ld, self._state, self._std_beta_flat, self._n_flat,
                 self._hyper_f32(), self._fix_mask,
                 n_sample=float(self.n), m_total=float(self.m),
                 init_elbo=jnp.asarray(init_elbo, F64),
-                active0=active0,
-                max_iter=max_iter, min_iter=min_iter,
+                active0=active,
+                max_iter=this_chunk, min_iter=min_iter,
                 f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
                 patience=patience, tile=self.tile,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas,
+                i0=it_done, counters0=counters,
+                sigma_g0=jnp.asarray(np.atleast_1d(self._sigma_g), F64))
 
+            self._adopt_result(res)
+            counters = res.counters
             statuses = np.asarray(res.status)
+            n_in_chunk = int(np.asarray(res.n_iter_total))
+            it_done += n_in_chunk
+            init_elbo = np.asarray(res.final_elbo, dtype=np.float64)
+
+            hist = np.asarray(res.elbo_hist)[1:n_in_chunk + 1]
+            self.history['ELBO'].extend(
+                [row[0] for row in hist] if S == 1 else list(hist))
+            if self.tracked_params:
+                self._track_iteration(max_eta_diff=float(
+                    np.max(np.asarray(res.max_eta_diff))))
+
+            if pbar is not None:
+                pbar.update(n_in_chunk)
+                pbar.set_postfix({'ELBO': float(init_elbo.max())})
+            if progress_callback is not None:
+                progress_callback(self, it_done, statuses)
+
+            # restart-on-negative-MSE (VIPRS.py:1025-1038):
             restart_mask = (statuses == opt.MSE_NEGATIVE) \
                 & ~np.asarray(self._fix_mask.sigma_eps) \
                 & (restarts < max_restarts)
+            if restart_mask.any():
+                restarts += 1
+                logger.info("MSE is negative; restarting optimization with "
+                            "sigma_epsilon fixed at 0.95 (reference behavior).")
+                self._restart_models(restart_mask, theta_0, param_0)
+                init_elbo = np.atleast_1d(np.asarray(self.elbo(),
+                                                     dtype=np.float64))
+                fresh = em_loop.init_counters(S)
+                mask_dev = jnp.asarray(restart_mask)
+                counters = em_loop.EMCounters(
+                    *(jnp.where(mask_dev, f, c)
+                      for f, c in zip(fresh, counters)))
+                active = jnp.asarray(restart_mask
+                                     | (statuses == opt.MAX_ITER))
+                continue
 
-            self._adopt_result(res)
-
-            if not restart_mask.any():
+            # lanes with status MAX_ITER only exhausted this chunk's budget:
+            active = jnp.asarray(statuses == opt.MAX_ITER)
+            if not bool(np.asarray(active).any()):
                 break
 
-            restarts += 1
-            logger.info("MSE is negative; restarting optimization with "
-                        "sigma_epsilon fixed at 0.95 (reference behavior).")
-            self._restart_models(restart_mask, theta_0, param_0)
-            init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
-            active0 = jnp.asarray(restart_mask)
+        if pbar is not None:
+            pbar.close()
 
         if self._S == 1:
             self.update_posterior_moments()
@@ -534,7 +593,6 @@ class VIPRS(BayesPRSModel):
             # — S full posteriors cost GBs of device->host traffic. Clear any
             # previously materialized host copies so they can't go stale:
             self.pip = self.post_mean_beta = self.post_var_beta = None
-        self._finalize_history(res)
         self._populate_optim_result(res)
 
         if not self.optim_result.success:
@@ -544,6 +602,29 @@ class VIPRS(BayesPRSModel):
         logger.info("> Estimated proportion of causal variants: %s",
                     self.get_proportion_causal())
         return self
+
+    @staticmethod
+    def _make_pbar(total):
+        try:
+            from tqdm import tqdm
+            return tqdm(total=total, desc='EM iterations', unit='it')
+        except ImportError:
+            class _LogBar:
+                def __init__(self, total):
+                    self.n, self.total, self._postfix = 0, total, {}
+
+                def update(self, k):
+                    self.n += k
+
+                def set_postfix(self, d):
+                    self._postfix = d
+                    logger.info("iteration %d/%d | %s", self.n, self.total,
+                                ', '.join(f'{k}={v:.4f}'
+                                          for k, v in d.items()))
+
+                def close(self):
+                    pass
+            return _LogBar(total)
 
     def _adopt_result(self, res):
         self._state = res.state
@@ -579,12 +660,6 @@ class VIPRS(BayesPRSModel):
             eta=jnp.where(mask_dev, 0.0, st.eta).astype(F32),
             q=jnp.where(mask_dev, 0.0, st.q).astype(F32))
         self._sigma_g = np.where(restart_mask, 0.0, self._sigma_g)
-
-    def _finalize_history(self, res):
-        hist = np.asarray(res.elbo_hist)
-        n_total = int(np.asarray(res.n_iter_total))
-        col = hist[:n_total + 1, 0] if self._S == 1 else hist[:n_total + 1]
-        self.history['ELBO'] = [v for v in np.atleast_1d(col).tolist()]
 
     def _populate_optim_result(self, res):
         code = int(np.asarray(res.status)[0]) if self._S == 1 else None
@@ -645,109 +720,4 @@ class VIPRS(BayesPRSModel):
         self._sigma_g = z['sigma_g']
         self.history['ELBO'] = list(z['elbo_history'])
         self._update_fix_mask()
-        return self
-
-    def _fit_stepwise(self, max_iter, min_iter, f_abs_tol, x_abs_tol, patience,
-                      continued=False, theta_0=None, param_0=None, max_restarts=1):
-        """Host-stepped EM (one device roundtrip per iteration) used when
-        per-iteration tracking is requested."""
-        from ..utils.optimize import IterationConditionCounter
-        from ..ops.cavi_jax import cavi_sweep
-
-        self.history.setdefault('ELBO', [])
-        self.history['ELBO'].append(self.elbo())
-        self._track_iteration()
-
-        prev_elbo = self.history['ELBO'][-1]
-        prev_sigma_g = float(np.atleast_1d(self._sigma_g)[0])
-        sig_icc = IterationConditionCounter()
-        div_icc = IterationConditionCounter()
-        self.optim_result.reset()
-        restarts = 0
-
-        for i in range(1, max_iter + 1):
-            h32 = self._hyper_f32()
-            state, eta_diff = cavi_sweep(
-                self.dataset.ld, self._state, self._std_beta_flat, self._n_flat,
-                h32, jnp.ones(self._S), tile=self.tile)
-            var_tau = updates.compute_var_tau(self._n_flat, h32)
-            stats = updates.collect_stats(state, var_tau, self._std_beta_flat,
-                                          self.dataset.ld.mask)
-            hyper64 = Hyper(*(jnp.asarray(np.atleast_1d(x), F64) for x in self._hyper))
-            new_hyper, sigma_g = updates.m_step(stats, hyper64, self._fix_mask,
-                                                float(self.m), jnp.ones(self._S, bool))
-            curr_elbo_arr = updates.elbo(stats, new_hyper,
-                                         jnp.asarray(self._fix_mask.sigma_eps),
-                                         sigma_g, self.n, float(self.m))
-            self._state = state
-            self._hyper = Hyper(*(np.asarray(x, dtype=np.float64) for x in new_hyper))
-            self._sigma_g = np.asarray(sigma_g, dtype=np.float64)
-
-            curr_elbo = float(np.asarray(curr_elbo_arr)[0])
-            curr_mse = float(np.atleast_1d(np.asarray(updates.mse(stats, sigma_g)))[0])
-            max_ed = float(np.max(np.abs(np.asarray(eta_diff))))
-
-            self.history['ELBO'].append(curr_elbo)
-            self._track_iteration(max_eta_diff=max_ed)
-
-            sgf = float(np.atleast_1d(self._sigma_g)[0])
-            sig_icc.update((i > min_iter)
-                           and abs(sgf - prev_sigma_g) <= x_abs_tol
-                           and max_ed < 10 * x_abs_tol, i)
-            div_icc.update((curr_elbo < prev_elbo)
-                           and not np.isclose(curr_elbo, prev_elbo,
-                                              atol=1e3 * f_abs_tol, rtol=1e-4), i)
-
-            h2 = self.get_heritability()
-            if curr_mse < 0:
-                if 'sigma_epsilon' not in self.fix_params and restarts < max_restarts:
-                    restarts += 1
-                    logger.info("Iteration %d | MSE negative; restarting with "
-                                "fixed sigma_epsilon.", i)
-                    self.initialize_theta(theta_0)
-                    self.fix_params['sigma_epsilon'] = 0.95
-                    self.set_fixed_params({'sigma_epsilon': 0.95})
-                    self.initialize_variational_parameters(param_0)
-                    continue
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=False,
-                                         message=f'The MSE is negative ({curr_mse:.6f}).')
-            elif not np.isfinite(curr_elbo):
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=False,
-                                         message='Objective (ELBO) is undefined.')
-            elif self.sigma_epsilon < 0:
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=False,
-                                         message='Residual variance estimate is negative.')
-            elif h2 > 1 or h2 < 0:
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=False,
-                                         message='Estimated heritability is out of bounds.')
-            elif i > min_iter and np.isclose(prev_elbo, curr_elbo, atol=f_abs_tol, rtol=0.):
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=True,
-                                         message='Objective (ELBO) converged successfully.')
-            elif i > min_iter and max_ed < x_abs_tol:
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=True,
-                                         message='Variational parameters converged successfully.')
-            elif sig_icc.counter > patience:
-                self.optim_result.update(
-                    curr_elbo, stop_iteration=True, success=True,
-                    message='LD-weighted variational parameters converged successfully.')
-            elif div_icc.counter > patience:
-                self.optim_result.update(curr_elbo, stop_iteration=True, success=False,
-                                         message='The objective (ELBO) is decreasing.')
-            else:
-                self.optim_result.update(curr_elbo)
-
-            prev_elbo = curr_elbo
-            prev_sigma_g = sgf
-
-            if self.optim_result.stop_iteration:
-                break
-
-        if not self.optim_result.stop_iteration:
-            self.optim_result.update(self.history['ELBO'][-1], stop_iteration=True,
-                                     success=False,
-                                     message="Maximum iterations reached without convergence.\n"
-                                             "You may need to run the model for more iterations.",
-                                     increment=False)
-
-        self.update_posterior_moments()
         return self

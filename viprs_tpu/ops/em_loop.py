@@ -56,6 +56,31 @@ class EMCarry(NamedTuple):
     max_eta_diff: jnp.ndarray    # (S,) f32
 
 
+class EMCounters(NamedTuple):
+    """The convergence-ladder state that must survive across chunked em_fit
+    calls (tracking / live-progress runs split one optimization into bounded
+    segments; carrying these keeps the ladder identical to a single fused
+    run)."""
+    prev_dropped: jnp.ndarray    # (S,) bool
+    osc_counter: jnp.ndarray     # (S,) i32
+    best_elbo: jnp.ndarray       # (S,) f64
+    stall_counter: jnp.ndarray   # (S,) i32
+    sigma_g_counter: jnp.ndarray  # (S,) i32
+    div_counter: jnp.ndarray     # (S,) i32
+    damping: jnp.ndarray         # (S,) f32
+
+
+def init_counters(S) -> EMCounters:
+    return EMCounters(
+        prev_dropped=jnp.zeros(S, bool),
+        osc_counter=jnp.zeros(S, I32),
+        best_elbo=jnp.full(S, -jnp.inf, F64),
+        stall_counter=jnp.zeros(S, I32),
+        sigma_g_counter=jnp.zeros(S, I32),
+        div_counter=jnp.zeros(S, I32),
+        damping=jnp.ones(S, F32))
+
+
 class EMResult(NamedTuple):
     state: CaviState
     hyper: Hyper
@@ -66,6 +91,8 @@ class EMResult(NamedTuple):
     n_iter_total: jnp.ndarray
     final_elbo: jnp.ndarray
     final_mse: jnp.ndarray
+    counters: EMCounters
+    max_eta_diff: jnp.ndarray
 
 
 def _hyper_f32(h: Hyper) -> Hyper:
@@ -90,16 +117,26 @@ def em_fit(ld: BlockLD,
            patience: int = 10,
            tile: int = 128,
            inner_steps: int = 4,
-           use_pallas: bool = False):
+           use_pallas: bool = False,
+           i0=0,
+           counters0: EMCounters = None,
+           sigma_g0=None):
     """Run the fused EM loop until every model terminates (or max_iter).
 
     :param init_elbo: (S,) f64 — ELBO of the initial state (history slot 0;
         reference appends the initial objective before iterating, VIPRS.py:942).
     :param active0: (S,) bool — models to optimize (False lanes stay frozen).
-    :returns: EMResult.
+    :param i0: global iteration offset (chunked runs: min_iter and nit are
+        counted from the start of the whole optimization, not the chunk).
+    :param counters0: convergence-ladder carry for chunked runs (None = fresh).
+    :param sigma_g0: (S,) f64 sigma_g carry for chunked runs (None = zeros).
+    :returns: EMResult (``status == MAX_ITER`` means the lane ran out of THIS
+        call's iteration budget — a chunked driver continues those lanes).
     """
     S = hyper0.sigma_eps.shape[0]
     mask = ld.mask
+    i0 = jnp.asarray(i0, I32)
+    ctr = counters0 if counters0 is not None else init_counters(S)
 
     elbo_hist = jnp.full((max_iter + 1, S), jnp.nan, dtype=F64)
     elbo_hist = elbo_hist.at[0].set(init_elbo)
@@ -107,19 +144,20 @@ def em_fit(ld: BlockLD,
     carry = EMCarry(
         state=state0,
         hyper=Hyper(*(x.astype(F64) for x in hyper0)),
-        sigma_g=jnp.zeros(S, F64),
+        sigma_g=(jnp.zeros(S, F64) if sigma_g0 is None
+                 else jnp.asarray(sigma_g0, F64)),
         i=jnp.asarray(0, I32),
         active=active0.astype(bool),
         status=jnp.full(S, opt.RUNNING, I32),
         nit=jnp.zeros(S, I32),
         prev_elbo=init_elbo.astype(F64),
-        prev_dropped=jnp.zeros(S, bool),
-        osc_counter=jnp.zeros(S, I32),
-        best_elbo=jnp.full(S, -jnp.inf, F64),
-        stall_counter=jnp.zeros(S, I32),
-        sigma_g_counter=jnp.zeros(S, I32),
-        div_counter=jnp.zeros(S, I32),
-        damping=jnp.ones(S, F32),
+        prev_dropped=ctr.prev_dropped,
+        osc_counter=ctr.osc_counter,
+        best_elbo=ctr.best_elbo,
+        stall_counter=ctr.stall_counter,
+        sigma_g_counter=ctr.sigma_g_counter,
+        div_counter=ctr.div_counter,
+        damping=ctr.damping,
         elbo_hist=elbo_hist,
         max_eta_diff=jnp.zeros(S, F32),
     )
@@ -129,6 +167,7 @@ def em_fit(ld: BlockLD,
 
     def body(c: EMCarry):
         i = c.i + 1
+        gi = i0 + i          # global iteration number (chunk-aware)
         h32 = _hyper_f32(c.hyper)
         act_f = c.active.astype(F32) * c.damping
 
@@ -163,7 +202,7 @@ def em_fit(ld: BlockLD,
         max_ed = jnp.where(c.active, max_ed, c.max_eta_diff)
 
         # ---- patience counters (VIPRS.py:1002-1016) ----
-        sigg_cond = ((i > min_iter)
+        sigg_cond = ((gi > min_iter)
                      & (jnp.abs(sigma_g - c.sigma_g) <= x_abs_tol)
                      & (max_ed < x_abs_tol * 10.0))
         sigma_g_counter = jnp.where(sigg_cond, c.sigma_g_counter + 1, 0)
@@ -204,9 +243,9 @@ def em_fit(ld: BlockLD,
         status = set_status(status, hyper.sigma_eps < 0.0, opt.SIGMA_EPS_NEGATIVE)
         status = set_status(status, (h2 > 1.0) | (h2 < 0.0), opt.H2_OUT_OF_BOUNDS)
         status = set_status(
-            status, (i > min_iter) & (jnp.abs(curr_elbo - c.prev_elbo) <= f_abs_tol),
+            status, (gi > min_iter) & (jnp.abs(curr_elbo - c.prev_elbo) <= f_abs_tol),
             opt.CONVERGED_F)
-        status = set_status(status, (i > min_iter) & (max_ed < x_abs_tol),
+        status = set_status(status, (gi > min_iter) & (max_ed < x_abs_tol),
                             opt.CONVERGED_X)
         status = set_status(status, sigma_g_counter > patience, opt.CONVERGED_SIGMA_G)
         status = set_status(status, div_counter > patience, opt.DIVERGED_ELBO)
@@ -214,7 +253,7 @@ def em_fit(ld: BlockLD,
         newly_done = c.active & (status != opt.RUNNING)
         status = jnp.where(newly_done, status, c.status)
         active = c.active & ~newly_done
-        nit = jnp.where(c.active, i, c.nit)
+        nit = jnp.where(c.active, gi, c.nit)
 
         hist = lax.dynamic_update_slice(c.elbo_hist, curr_elbo[None, :],
                                         (i, jnp.asarray(0, I32)))
@@ -241,4 +280,13 @@ def em_fit(ld: BlockLD,
     return EMResult(state=c.state, hyper=c.hyper, sigma_g=c.sigma_g,
                     status=status, nit=c.nit, elbo_hist=c.elbo_hist,
                     n_iter_total=c.i, final_elbo=c.prev_elbo,
-                    final_mse=final_mse)
+                    final_mse=final_mse,
+                    counters=EMCounters(
+                        prev_dropped=c.prev_dropped,
+                        osc_counter=c.osc_counter,
+                        best_elbo=c.best_elbo,
+                        stall_counter=c.stall_counter,
+                        sigma_g_counter=c.sigma_g_counter,
+                        div_counter=c.div_counter,
+                        damping=c.damping),
+                    max_eta_diff=c.max_eta_diff)
