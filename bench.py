@@ -154,6 +154,27 @@ def main():
         log(f"grid(100)+BMA steady-state: {grid_steady:.2f}s "
             f"(north-star target: <60s on 16 chips; this is 1 chip)")
 
+    # ---- VIPRSMix at genome scale (reference -m VIPRSMix is a first-class
+    # CLI model; e_step.hpp:447-551) ----
+    if '--no-mix' not in sys.argv:
+        from viprs_tpu.model import VIPRSMix
+        np.random.seed(0)
+        mix = VIPRSMix(ds, K=3)
+        t0 = time.time()
+        mix.fit(max_iter=500)
+        mix_cold = time.time() - t0
+        log(f"VIPRSMix(K=3) cold (incl. compile): {mix_cold:.2f}s; "
+            f"iters={mix.optim_result.nit}; success={mix.optim_result.success}; "
+            f"h2={mix.get_heritability():.4f}")
+
+        np.random.seed(0)
+        mix2 = VIPRSMix(ds, K=3)
+        t0 = time.time()
+        mix2.fit(max_iter=500)
+        mix_steady = time.time() - t0
+        log(f"VIPRSMix(K=3) steady-state: {mix_steady:.2f}s over "
+            f"{mix2.optim_result.nit} iterations")
+
     print(json.dumps({
         "metric": "genomewide_em_fit_seconds",
         "value": round(steady, 3),

@@ -108,6 +108,16 @@ def build_parser():
                         dest='validation_sumstats_format', default=None,
                         help="Format of the validation sumstats (defaults to "
                              "--sumstats-format).")
+    parser.add_argument('--validation-custom-sumstats-mapper',
+                        dest='validation_custom_mapper', default=None,
+                        help="Comma-separated file_col=canonical_col pairs for "
+                             "custom-format validation sumstats "
+                             "(reference bin/viprs_fit --validation-custom-"
+                             "sumstats-mapper).")
+    parser.add_argument('--validation-custom-sumstats-sep',
+                        dest='validation_custom_sep', default=None,
+                        help="Field separator for custom-format validation "
+                             "sumstats.")
     parser.add_argument('--validation-gwas-sample-size',
                         dest='validation_gwas_n', type=float, default=None)
     parser.add_argument('--validation-ld-panel', dest='validation_ld_panel',
@@ -228,10 +238,17 @@ def init_data(args):
     validation_ss = None
     if args.validation_sumstats:
         from ..data.sumstats import read_sumstats
+        vkwargs = {}
+        if args.validation_custom_mapper:
+            vkwargs['column_map'] = dict(
+                kv.split('=') for kv in args.validation_custom_mapper.split(','))
+        if args.validation_custom_sep:
+            vkwargs['sep'] = args.validation_custom_sep
         validation_ss = read_sumstats(
             args.validation_sumstats,
             sumstats_format=args.validation_sumstats_format or args.sumstats_format,
-            n=args.validation_gwas_n or args.gwas_n)
+            n=args.validation_gwas_n or args.gwas_n,
+            **vkwargs)
 
     return loader, validation_gdl, validation_ss
 
@@ -294,7 +311,10 @@ def fit_model(args, model, validation_gdl, validation_ss):
 
     fit_kwargs = dict(max_iter=args.max_iter, min_iter=args.min_iter,
                       f_abs_tol=args.f_abs_tol,
-                      x_abs_tol=args.x_abs_tol, patience=args.patience)
+                      x_abs_tol=args.x_abs_tol, patience=args.patience,
+                      # live ELBO progress on interactive runs (reference tqdm
+                      # behavior); quiet in pipelines/captured output:
+                      disable_pbar=not sys.stderr.isatty())
     if args.model == 'VIPRSGrid':
         fit_kwargs['pathwise'] = args.pathwise
 
@@ -354,7 +374,12 @@ def _align_validation_ss(model, validation_ss):
 def main(argv=None):
     args = check_args(build_parser().parse_args(argv))
 
-    logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.WARNING))
+    # per-run log file next to the outputs (reference bin/viprs_fit:1021-1039):
+    from ..utils.system import setup_logger
+    setup_logger(modules=['viprs_fit', 'viprs_tpu'],
+                 log_file=args.output_file + '.log',
+                 log_level=args.log_level)
+    logger.info("> Parsed arguments: %s", vars(args))
     if args.seed is not None:
         np.random.seed(args.seed)
 

@@ -235,7 +235,7 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
 @partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
 def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                hyper: Hyper, active, damping=1.0, tile: int = 128,
-               relax: bool = True, inner_steps: int = 4):
+               relax: bool = True, inner_steps: int = 8):
     """One full CAVI e-step sweep over all blocks and models.
 
     :param ld: BlockLD operator.

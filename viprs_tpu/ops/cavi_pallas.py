@@ -123,7 +123,7 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
 @functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
 def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                       hyper: Hyper, active, tile: int = 128,
-                      relax: bool = True, inner_steps: int = 4):
+                      relax: bool = True, inner_steps: int = 8):
     """Pallas-fused CAVI sweep; same contract as cavi_jax.cavi_sweep."""
     B = ld.block_size
     NB = ld.nb

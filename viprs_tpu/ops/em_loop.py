@@ -116,7 +116,7 @@ def em_fit(ld: BlockLD,
            x_abs_tol: float = 1e-6,
            patience: int = 10,
            tile: int = 128,
-           inner_steps: int = 4,
+           inner_steps: int = 8,
            use_pallas: bool = False,
            i0=0,
            counters0: EMCounters = None,
