@@ -69,3 +69,48 @@ def test_pallas_matches_xla_interpret(problem, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(jax.nn.sigmoid(out_p.logits)),
         np.asarray(jax.nn.sigmoid(out_x.logits)), atol=1e-5)
+
+
+def test_mixture_pallas_matches_xla_interpret(problem, monkeypatch):
+    """The Pallas mixture kernel must reproduce the XLA mixture sweep
+    (interpret mode on CPU)."""
+    from viprs_tpu.ops import cavi_pallas
+    from viprs_tpu.ops.cavi_mix import MixState, MixHyper, cavi_sweep_mixture
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    K = 3
+    nb, B = lay.nb, 128
+    pis = np.array([0.01, 0.03, 0.05], dtype=np.float32)
+    gamma = jnp.asarray(np.tile(pis[:, None, None], (1, nb, B)), jnp.float32)
+    state = MixState(gamma=gamma,
+                     mu=jnp.zeros((K, nb, B), jnp.float32),
+                     eta=jnp.zeros((nb, B), jnp.float32),
+                     q=jnp.zeros((nb, B), jnp.float32))
+    hyper = MixHyper(sigma_eps=jnp.asarray(0.7, jnp.float32),
+                     tau_beta=jnp.asarray([3000.0, 1000.0, 400.0], jnp.float32),
+                     pi=jnp.asarray(pis),
+                     lambda_min=jnp.asarray(0.0, jnp.float32))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+    out_p, diff_p = cavi_pallas.cavi_sweep_mixture_pallas.__wrapped__(
+        ld, state, sb, nf, hyper, tile=64)
+
+    out_x, diff_x = cavi_sweep_mixture(ld, state, sb, nf, hyper, tile=64)
+
+    np.testing.assert_allclose(np.asarray(out_p.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.gamma),
+                               np.asarray(out_x.gamma), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.mu), np.asarray(out_x.mu),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(diff_p), np.asarray(diff_x),
+                               atol=1e-5)

@@ -387,6 +387,11 @@ class VIPRSMix(BayesPRSModel):
             self.initialize(theta_0, param_0)
         self.history.setdefault('ELBO', [])
 
+        import jax
+        # The Pallas mixture sweep (VMEM-resident per-block K-state) wins on
+        # real TPU hardware; the XLA path wins on CPU meshes:
+        use_pallas = jax.default_backend() in ('tpu', 'axon')
+
         restarts = 0
         while True:
             init_elbo = jnp.asarray(self.elbo(), jnp.float64)
@@ -397,7 +402,7 @@ class VIPRSMix(BayesPRSModel):
                 n_sample=float(self.n), m_total=float(self.m),
                 init_elbo=init_elbo, max_iter=max_iter, min_iter=min_iter,
                 f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
-                tile=self.tile)
+                tile=self.tile, use_pallas=use_pallas)
 
             self._state = res.state
             self._hyper = MixHyper(

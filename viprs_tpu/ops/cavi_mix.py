@@ -43,8 +43,13 @@ def compute_q_mix(ld: BlockLD, eta):
 
 
 def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
-                         hyper: MixHyper, scale, tile, n_tiles):
-    """gamma_b/mu_b: (K, B); eta_b/q_b: (B,); D_b: (B, B)."""
+                         hyper: MixHyper, scale, tile, n_tiles, inner_steps):
+    """gamma_b/mu_b: (K, B); eta_b/q_b: (B,); D_b: (B, B).
+
+    Tile-Gauss-Seidel with ``inner_steps`` tile-local fixed-point refinements
+    (same scheme as the spike-and-slab kernel, ops/cavi_jax.py) — each inner
+    pass recomputes the K-component updates from a tile-locally refreshed q.
+    """
     K = gamma_b.shape[0]
     sig_e = hyper.sigma_eps
     tau_b = hyper.tau_beta[:, None]          # (K,1)
@@ -68,38 +73,47 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
 
         var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b          # (K,T)
         mu_mult_t = n_t / (var_tau_t * sig_e)
-        mu_star = mu_mult_t * (beta_t - q_t[None, :])          # (K,T)
-        u = base_logit - 0.5 * jnp.log(var_tau_t) \
-            + 0.5 * var_tau_t * mu_star * mu_star              # (K,T)
-
-        # softmax over K slabs + the null component:
-        u_max = jnp.maximum(jnp.max(u, axis=0), log_null_pi)   # (T,)
-        exp_u = jnp.exp(u - u_max[None, :])
-        denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
-        g_star = exp_u / denom[None, :]                        # (K,T)
+        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=0)      # (T,)
 
         D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
-
-        # gamma-weighted within-tile under-relaxation (same stabilization as
-        # the spike-and-slab kernel; Jacobi overshoots on stiff LD):
         R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile)).astype(F32)
         if scale != 1.0:
             R_tt = R_tt * F32(scale)
         R_abs = jnp.abs(R_tt)
-        pip_star = jnp.sum(g_star, axis=0)                     # (T,)
-        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=0)      # (T,)
-        coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
-                           preferred_element_type=F32)
-        coupling = coupling - jnp.diagonal(R_abs) * pip_star * mu_mult_max
-        w = (1.0 / (1.0 + coupling))[None, :]                  # (1,T)
+        R_abs_diag = jnp.diagonal(R_abs)
 
-        g_new = g_t + w * (g_star - g_t)
-        mu_new = mu_t + w * (mu_star - mu_t)
+        g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
+        for _ in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t - q_cur[None, :])    # (K,T)
+            u = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star          # (K,T)
 
-        d_t = (jnp.sum(g_new * mu_new, axis=0) - eta_t) * mask_t  # (T,)
+            # softmax over K slabs + the null component:
+            u_max = jnp.maximum(jnp.max(u, axis=0), log_null_pi)   # (T,)
+            exp_u = jnp.exp(u - u_max[None, :])
+            denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
+            g_star = exp_u / denom[None, :]                        # (K,T)
 
-        gamma_b = lax.dynamic_update_slice(gamma_b, g_new, (0, idx))
-        mu_b = lax.dynamic_update_slice(mu_b, mu_new, (0, idx))
+            # gamma-weighted within-tile under-relaxation (same stabilization
+            # as the spike-and-slab kernel; Jacobi overshoots on stiff LD):
+            pip_star = jnp.sum(g_star, axis=0)                     # (T,)
+            coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
+                               preferred_element_type=F32)
+            coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+            w = (1.0 / (1.0 + coupling))[None, :]                  # (1,T)
+
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = jnp.sum(g_cur * mu_cur, axis=0)
+            d_in = (eta_new - eta_cur) * mask_t
+            q_cur = q_cur + jnp.dot(d_in[None, :], R_tt,
+                                    preferred_element_type=F32)[0] - d_in
+            eta_cur = eta_cur + d_in
+
+        d_t = (eta_cur - eta_t) * mask_t                           # (T,)
+
+        gamma_b = lax.dynamic_update_slice(gamma_b, g_cur, (0, idx))
+        mu_b = lax.dynamic_update_slice(mu_b, mu_cur, (0, idx))
         eta_b = lax.dynamic_update_slice(eta_b, eta_t + d_t, (idx,))
 
         q_b = q_b + _dequant_matmul(d_t[None, :], D_rows, scale)[0]
@@ -111,9 +125,9 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
     return lax.fori_loop(0, n_tiles, body, (gamma_b, mu_b, eta_b, q_b))
 
 
-@partial(jax.jit, static_argnames=('tile',))
+@partial(jax.jit, static_argnames=('tile', 'inner_steps'))
 def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
-                       hyper: MixHyper, tile: int = 128):
+                       hyper: MixHyper, tile: int = 128, inner_steps: int = 8):
     """One mixture-CAVI sweep. Returns (new_state, eta_diff)."""
     B = ld.block_size
     assert B % tile == 0
@@ -123,7 +137,7 @@ def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
     def per_block(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b):
         return _mix_block_tile_loop(D_b, beta_b, n_b, mask_b,
                                     gamma_b, mu_b, eta_b, q_b,
-                                    hyper, ld.scale, tile, n_tiles)
+                                    hyper, ld.scale, tile, n_tiles, inner_steps)
 
     gamma, mu, eta, q = jax.vmap(
         per_block,

@@ -120,6 +120,154 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         q_out[0, :, sl] = q_out[0, :, sl] - d_t
 
 
+def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
+                      diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
+                      gamma_out, mu_out, eta_out, q_out,
+                      *, tile, n_tiles, scale, inner_steps):
+    """Mixture-prior sweep for one LD block (the Pallas analog of
+    cavi_mix._mix_block_tile_loop). diag_ref: (1, B, B) storage dtype;
+    gamma/mu refs: (1, K, B); eta/q refs: (1, 1, B); hyper_ref: (8, K) rows
+    [sigma_eps*, tau_beta_k, pi_k, lambda*, log_null_pi*] (* = broadcast)."""
+    K = gamma_ref.shape[1]
+    sig_e = hyper_ref[0, 0]
+    tau_b = hyper_ref[1, :][:, None]           # (K,1)
+    pi_ = hyper_ref[2, :][:, None]
+    lam = hyper_ref[3, 0]
+    log_null_pi = hyper_ref[4, 0]
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    gamma_out[0] = gamma_ref[0]
+    mu_out[0] = mu_ref[0]
+    eta_out[0] = eta_ref[0]
+    q_out[0] = q_ref[0]
+
+    for t in range(n_tiles):
+        idx = t * tile
+        sl = pl.ds(idx, tile)
+        q_t = q_out[0, 0, sl]
+        eta_t = eta_out[0, 0, sl]
+        n_t = n_ref[0, 0, sl][None, :]
+        beta_t = beta_ref[0, 0, sl][None, :]
+        mask_t = mask_ref[0, 0, sl]
+        g_t = gamma_out[0, :, sl]              # (K,T)
+        mu_t = mu_out[0, :, sl]
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=0)
+
+        D_rows = diag_ref[0, sl, :].astype(F32)
+        R_tt = diag_ref[0, sl, sl].astype(F32)
+        if scale != 1.0:
+            R_tt = R_tt * F32(scale)
+        R_abs = jnp.abs(R_tt)
+        R_abs_diag = jnp.sum(R_abs * _eye(tile), axis=0)
+
+        g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
+        for _ in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t - q_cur[None, :])
+            u = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star
+            u_max = jnp.maximum(jnp.max(u, axis=0), log_null_pi)
+            exp_u = jnp.exp(u - u_max[None, :])
+            denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
+            g_star = exp_u / denom[None, :]
+
+            pip_star = jnp.sum(g_star, axis=0)
+            coupling = jnp.dot((pip_star * mu_mult_max)[None, :], R_abs,
+                               preferred_element_type=F32)[0]
+            coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+            w = (1.0 / (1.0 + coupling))[None, :]
+
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = jnp.sum(g_cur * mu_cur, axis=0)
+            d_in = (eta_new - eta_cur) * mask_t
+            q_cur = q_cur + jnp.dot(d_in[None, :], R_tt,
+                                    preferred_element_type=F32)[0] - d_in
+            eta_cur = eta_cur + d_in
+
+        d_t = (eta_cur - eta_t) * mask_t
+
+        gamma_out[0, :, sl] = g_cur
+        mu_out[0, :, sl] = mu_cur
+        eta_out[0, 0, sl] = eta_t + d_t
+
+        q_upd = jnp.dot(d_t[None, :], D_rows, preferred_element_type=F32)[0]
+        if scale != 1.0:
+            q_upd = q_upd * F32(scale)
+        q_out[0, 0] = q_out[0, 0] + q_upd
+        q_out[0, 0, sl] = q_out[0, 0, sl] - d_t
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'inner_steps'))
+def cavi_sweep_mixture_pallas(ld: BlockLD, state, std_beta, n_per_snp,
+                              hyper, tile: int = 128, inner_steps: int = 8):
+    """Pallas-fused mixture sweep; same contract as
+    cavi_mix.cavi_sweep_mixture (state: MixState with (K, NB, B) gamma/mu and
+    (NB, B) eta/q)."""
+    from .cavi_mix import MixState
+
+    B = ld.block_size
+    NB = ld.nb
+    K = state.gamma.shape[0]
+    assert B % tile == 0
+    n_tiles = B // tile
+    eta0 = state.eta
+
+    hyper_mat = jnp.concatenate([
+        jnp.broadcast_to(hyper.sigma_eps.astype(F32), (1, K)),
+        hyper.tau_beta.astype(F32)[None, :],
+        hyper.pi.astype(F32)[None, :],
+        jnp.broadcast_to(hyper.lambda_min.astype(F32), (1, K)),
+        jnp.broadcast_to(jnp.log1p(-jnp.sum(hyper.pi)).astype(F32), (1, K)),
+        jnp.zeros((3, K), F32),
+    ])                                          # (8, K)
+
+    kernel = functools.partial(_mix_sweep_kernel, tile=tile, n_tiles=n_tiles,
+                               scale=ld.scale, inner_steps=inner_steps)
+
+    km_spec = pl.BlockSpec((1, K, B), lambda b: (b, b * 0, b * 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, B), lambda b: (b, b * 0, b * 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((NB, K, B), F32),
+                  jax.ShapeDtypeStruct((NB, K, B), F32),
+                  jax.ShapeDtypeStruct((NB, 1, B), F32),
+                  jax.ShapeDtypeStruct((NB, 1, B), F32)]
+
+    to_k = lambda x: jnp.transpose(x, (1, 0, 2))     # (K,NB,B) -> (NB,K,B)
+    rowify = lambda x: x[:, None, :]                 # (NB,B) -> (NB,1,B)
+
+    gamma, mu, eta, q = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((8, K), lambda b: (b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            km_spec, km_spec, row_spec, row_spec,
+        ],
+        out_specs=[km_spec, km_spec, row_spec, row_spec],
+        out_shape=out_shapes,
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+    )(rowify(std_beta), rowify(n_per_snp), rowify(ld.mask), hyper_mat, ld.diag,
+      to_k(state.gamma), to_k(state.mu), rowify(state.eta), rowify(state.q))
+
+    gamma = jnp.transpose(gamma, (1, 0, 2))
+    mu = jnp.transpose(mu, (1, 0, 2))
+    eta = eta[:, 0, :]
+    q = q[:, 0, :]
+
+    eta_diff = eta - eta0
+    if ld.n_off > 0:
+        from .cavi_jax import _off_contrib
+        q = q + _off_contrib(ld, eta_diff[None])[0]
+    return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
+
+
 @functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
 def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                       hyper: Hyper, active, tile: int = 128,

@@ -58,7 +58,8 @@ class MixEMResult(NamedTuple):
     final_mse: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter'))
+@partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter',
+                                   'inner_steps', 'use_pallas'))
 def mix_em_fit(ld: BlockLD,
                state0: MixState,
                std_beta, n_per_snp,
@@ -73,7 +74,9 @@ def mix_em_fit(ld: BlockLD,
                f_abs_tol: float = 1e-6,
                x_abs_tol: float = 1e-6,
                patience: int = 10,
-               tile: int = 128):
+               tile: int = 128,
+               inner_steps: int = 8,
+               use_pallas: bool = False):
     """Fused mixture EM. ``d_mult``: (K,) prior-variance multipliers."""
     K = hyper0.pi.shape[0]
     mask = ld.mask
@@ -108,8 +111,15 @@ def mix_em_fit(ld: BlockLD,
         i = c['i'] + 1
         hy = h32(c['hyper'])
 
-        state, eta_diff = cavi_sweep_mixture(ld, c['state'], std_beta,
-                                             n_per_snp, hy, tile=tile)
+        if use_pallas:
+            from .cavi_pallas import cavi_sweep_mixture_pallas
+            state, eta_diff = cavi_sweep_mixture_pallas(
+                ld, c['state'], std_beta, n_per_snp, hy, tile=tile,
+                inner_steps=inner_steps)
+        else:
+            state, eta_diff = cavi_sweep_mixture(ld, c['state'], std_beta,
+                                                 n_per_snp, hy, tile=tile,
+                                                 inner_steps=inner_steps)
         vt = mix_var_tau(n_per_snp, hy)
         stats = mix_stats(state, vt, std_beta, mask)
 
