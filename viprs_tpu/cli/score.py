@@ -17,8 +17,8 @@ def build_parser():
         description="Compute polygenic scores from inferred effect sizes.")
     parser.add_argument('-f', '--fit-files', dest='fit_files', required=True,
                         nargs='+', help="Path(s) to .fit files from viprs_fit.")
-    parser.add_argument('--bed-files', dest='bed_files', required=True,
-                        nargs='+',
+    parser.add_argument('--bfile', '--bed-files', dest='bed_files',
+                        required=True, nargs='+',
                         help="Path(s)/glob of plink BED fileset(s) to score "
                              "(e.g. one per chromosome).")
     parser.add_argument('--output-file', dest='output_file', required=True)
@@ -27,6 +27,13 @@ def build_parser():
     parser.add_argument('--extract', dest='extract_file', default=None,
                         help="File listing variant IDs to use.")
     parser.add_argument('--compress', dest='compress', action='store_true')
+    parser.add_argument('--temp-dir', dest='temp_dir', default='temp',
+                        help="Accepted for reference compatibility.")
+    parser.add_argument('--backend', dest='backend', default='native',
+                        help="Accepted for reference compatibility; genotype "
+                             "IO is native.")
+    parser.add_argument('--threads', dest='threads', type=int, default=1,
+                        help="Accepted for reference compatibility.")
     parser.add_argument('--log-level', dest='log_level', default='WARNING')
     return parser
 
