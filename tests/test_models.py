@@ -84,6 +84,35 @@ class TestVIPRS:
         assert m1.optim_result.message == m2.optim_result.message
         assert len(m2.history['pi']) == len(m2.history['ELBO'])
 
+    def test_manual_em_api(self, dataset, sim):
+        """The reference's manual-EM surface (e_step/m_step/update_*,
+        VIPRS.py:381-495) drives the optimization correctly."""
+        np.random.seed(33)
+        m = VIPRS(dataset)
+        m.initialize()
+        m.e_step()
+        m.m_step()
+        e1 = m.elbo()
+        for _ in range(40):
+            m.e_step()
+            m.m_step()
+        e2 = m.elbo()
+        assert e2 > e1
+        m.update_pi()
+        m.update_tau_beta()
+        m.update_sigma_epsilon()
+        m._update_sigma_g()
+        m.update_theta_history()
+        assert 0.1 < m.get_heritability() < 0.7
+        m.update_posterior_moments()
+        eta = np.concatenate([m.post_mean_beta[c] for c in m.chromosomes])
+        bt = np.concatenate([sim['beta_true'][c] for c in m.chromosomes])
+        assert np.corrcoef(eta, bt)[0, 1] > 0.4
+        # validation-sumstats attachment (set_validation_sumstats):
+        m.set_validation_sumstats({c: np.asarray(v)
+                                   for c, v in sim['std_beta'].items()})
+        assert np.isfinite(m.pseudo_validate())
+
     def test_progress_callback(self, dataset):
         np.random.seed(32)
         seen = []

@@ -343,7 +343,7 @@ def fit_model(args, model, validation_gdl, validation_ss):
             vgdl = validation_gdl
             if args.grid_metric == 'pseudo_validation' and validation_ss is not None:
                 # harmonize external validation sumstats into the model's dataset:
-                model.validation_std_beta = _align_validation_ss(model, validation_ss)
+                model.set_validation_sumstats(validation_ss)
                 vgdl = None
             select_best_model(model, validation_gdl=vgdl,
                               criterion=args.grid_metric)
@@ -356,19 +356,6 @@ def fit_model(args, model, validation_gdl, validation_ss):
                           x_abs_tol=args.x_abs_tol, patience=args.patience)
 
     return model, fit_time
-
-
-def _align_validation_ss(model, validation_ss):
-    from ..data.harmonize import merge_snp_tables
-    snp_tables = (model.dataset.snp_table or model.dataset.default_snp_table())
-    out = {}
-    vtab = validation_ss.table.copy()
-    vtab['STD_BETA'] = validation_ss.get_snp_pseudo_corr()
-    for c, tab in snp_tables.items():
-        merged = merge_snp_tables(tab[['SNP', 'A1', 'A2']], vtab, how='left',
-                                  signed_statistics=['STD_BETA'])
-        out[c] = merged['STD_BETA'].fillna(0.).values
-    return out
 
 
 def main(argv=None):

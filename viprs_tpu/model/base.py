@@ -73,6 +73,57 @@ class BayesPRSModel:
     def n_snps(self) -> int:
         return self.m
 
+    # --------------------------------------------------------------- input data
+    def initialize_input_data_arrays(self):
+        """(Re)build the marginal-statistics inputs (``std_beta``,
+        ``n_per_snp``) from the attached dataset
+        (reference BayesPRSModel.py:118-142)."""
+        logger.debug("> Initializing the input data arrays (marginal statistics).")
+        self.n_per_snp = {c: np.asarray(v, dtype=np.float64)
+                          for c, v in self.dataset.n_per_snp.items()}
+        self.std_beta = {c: np.asarray(v, dtype=np.float64)
+                         for c, v in self.dataset.std_beta.items()}
+        self._sample_size = dict_max(self.n_per_snp)
+
+    def set_validation_sumstats(self, sumstats):
+        """Attach validation summary statistics for pseudo-validation.
+
+        (The reference stubs this out, BayesPRSModel.py:144-149; here it is
+        implemented.) Accepts either a {chrom: standardized-beta array} dict
+        aligned with this model's variants, or a SumstatsTable / DataFrame with
+        SNP/A1/A2 columns to be allele-aware harmonized (flips change sign,
+        missing variants contribute 0).
+        """
+        if isinstance(sumstats, dict):
+            for c, sz in self.shapes.items():
+                if c not in sumstats or len(sumstats[c]) != sz:
+                    raise ValueError(
+                        f"validation std_beta for chromosome {c} is missing or "
+                        f"has the wrong length")
+            self.validation_std_beta = {c: np.asarray(sumstats[c], np.float64)
+                                        for c in self.shapes}
+            return self
+
+        from ..data.harmonize import merge_snp_tables
+
+        table = getattr(sumstats, 'table', sumstats).copy()
+        if 'STD_BETA' not in table.columns:
+            get_corr = getattr(sumstats, 'get_snp_pseudo_corr', None)
+            if get_corr is None:
+                raise ValueError("validation sumstats need a STD_BETA column "
+                                 "or a get_snp_pseudo_corr() method")
+            table['STD_BETA'] = get_corr()
+        snp_tables = (self.dataset.snp_table
+                      if self.dataset.snp_table is not None
+                      else self.dataset.default_snp_table())
+        out = {}
+        for c, tab in snp_tables.items():
+            merged = merge_snp_tables(tab[['SNP', 'A1', 'A2']], table,
+                                      how='left', signed_statistics=['STD_BETA'])
+            out[c] = merged['STD_BETA'].fillna(0.).values
+        self.validation_std_beta = out
+        return self
+
     # ----------------------------------------------------------------- splitting
     def split_gwas_sumstats(self, prop_train=0.8, seed=None, **kwargs):
         """PUMAS-style summary-statistics train/validation split

@@ -343,6 +343,92 @@ class VIPRS(BayesPRSModel):
 
         self._state = CaviState(logits=logits_j, mu=mu_j, eta=eta, q=q)
 
+    # ------------------------------------------------------- manual EM stepping
+    # (reference API surface: VIPRS.e_step / m_step / update_* let users and
+    # subclasses drive EM manually, VIPRS.py:381-495. fit() does NOT go through
+    # these — it runs the fused on-device loop — but the semantics match.)
+    def e_step(self):
+        """One CAVI e-step sweep over all variants (VIPRS.py:381-424)."""
+        from ..ops.cavi_jax import cavi_sweep
+        self._state, self._last_eta_diff = cavi_sweep(
+            self.dataset.ld, self._state, self._std_beta_flat, self._n_flat,
+            self._hyper_f32(), jnp.ones(self._S), tile=self.tile)
+        return self
+
+    def _m_step_stats(self):
+        h32 = self._hyper_f32()
+        var_tau = updates.compute_var_tau(self._n_flat, h32)
+        return updates.collect_stats(self._state, var_tau,
+                                     self._std_beta_flat, self.dataset.ld.mask)
+
+    def m_step(self):
+        """Closed-form hyperparameter updates (VIPRS.py:473-484), honoring
+        ``fix_params``."""
+        stats = self._m_step_stats()
+        hyper64 = Hyper(*(jnp.asarray(np.atleast_1d(x), F64)
+                          for x in self._hyper))
+        new_hyper, sigma_g = updates.m_step(stats, hyper64, self._fix_mask,
+                                            float(self.m),
+                                            jnp.ones(self._S, bool))
+        self._hyper = Hyper(*(np.asarray(x, dtype=np.float64)
+                              for x in new_hyper))
+        self._sigma_g = np.asarray(sigma_g, dtype=np.float64)
+        return self
+
+    def _set_unfixed(self, name, value):
+        if name not in self.fix_params:
+            h = {f: np.atleast_1d(np.asarray(getattr(self._hyper, f),
+                                             dtype=np.float64)).copy()
+                 for f in self._hyper._fields}
+            h[{'pi': 'pi', 'tau_beta': 'tau_beta',
+               'sigma_epsilon': 'sigma_eps'}[name]][:] = np.asarray(value)
+            self._hyper = Hyper(**h)
+
+    def update_pi(self):
+        """pi = mean(gamma) (VIPRS.py:426-434)."""
+        stats = self._m_step_stats()
+        self._set_unfixed('pi', np.asarray(stats.sum_gamma) / float(self.m))
+        return self
+
+    def update_tau_beta(self):
+        """tau_beta = pi * M / sum(zeta) (VIPRS.py:436-444)."""
+        stats = self._m_step_stats()
+        pi = np.atleast_1d(np.asarray(self._hyper.pi, dtype=np.float64))
+        self._set_unfixed('tau_beta',
+                          pi * float(self.m) / np.asarray(stats.sum_zeta))
+        return self
+
+    def _update_sigma_g(self):
+        """sigma_g = sum((1+lambda_min) zeta + q*eta) (VIPRS.py:446-457)."""
+        stats = self._m_step_stats()
+        lam = np.atleast_1d(np.asarray(self._hyper.lambda_min,
+                                       dtype=np.float64))
+        self._sigma_g = ((1.0 + lam) * np.asarray(stats.sum_zeta)
+                         + np.asarray(stats.sum_q_eta))
+        return self._sigma_g
+
+    def update_sigma_epsilon(self):
+        """sigma_eps = 1 - 2 beta'eta + sigma_g (VIPRS.py:459-471)."""
+        stats = self._m_step_stats()
+        lam = np.atleast_1d(np.asarray(self._hyper.lambda_min,
+                                       dtype=np.float64))
+        sigma_g = ((1.0 + lam) * np.asarray(stats.sum_zeta)
+                   + np.asarray(stats.sum_q_eta))
+        self._sigma_g = sigma_g
+        self._set_unfixed('sigma_epsilon',
+                          1.0 - 2.0 * np.asarray(stats.sum_beta_eta) + sigma_g)
+        return self
+
+    def update_theta_history(self):
+        """Record the tracked quantities for the current state
+        (VIPRS.py:839-873)."""
+        self._track_iteration()
+        return self
+
+    def initialize_input_data_arrays(self):
+        super().initialize_input_data_arrays()
+        self._refresh_inputs()
+
     # ------------------------------------------------------------- diagnostics
     def _stats(self):
         return updates.stats_bundle(self._state, self._n_flat,
