@@ -35,6 +35,18 @@ def _eye(n):
     return (r == c).astype(F32)
 
 
+def _row_matmul(d, R):
+    """(S, T) @ (T, N) -> (S, N).
+
+    For S == 1 a systolic-array matmul wastes 127/128 of the MXU on weight
+    loading; a broadcast-multiply + sublane reduction runs on the VPU at full
+    lane width instead. S >= 8 keeps the MXU path (the model axis fills M).
+    """
+    if d.shape[0] == 1:
+        return jnp.sum(d[0][:, None] * R, axis=0, keepdims=True)
+    return jnp.dot(d, R, preferred_element_type=F32)
+
+
 def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                   diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
                   logits_out, mu_out, eta_out, q_out,
@@ -89,8 +101,7 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                 + 0.5 * var_tau_t * mu_star * mu_star
             g_star = jax.nn.sigmoid(u_star)
             if relax:
-                coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), R_abs,
-                                   preferred_element_type=F32)
+                coupling = _row_matmul(g_star * jnp.abs(mu_mult_t), R_abs)
                 coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
                 w = act / (1.0 + coupling)
             else:
@@ -99,8 +110,7 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
             mu_cur = mu_cur + w * (mu_star - mu_cur)
             eta_new = g_cur * mu_cur
             d_in = (eta_new - eta_cur) * mask_t * on
-            q_cur = q_cur + jnp.dot(d_in, R_tt, preferred_element_type=F32) \
-                - d_in
+            q_cur = q_cur + _row_matmul(d_in, R_tt) - d_in
             eta_cur = eta_cur + d_in
 
         d_t = (eta_cur - eta_t) * mask_t * on
@@ -113,7 +123,7 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         mu_out[0, :, sl] = jnp.where(keep, mu_cur, mu_t)
         eta_out[0, :, sl] = eta_t + d_t
 
-        q_upd = jnp.dot(d_t, D_rows, preferred_element_type=F32)
+        q_upd = _row_matmul(d_t, D_rows)
         if scale != 1.0:
             q_upd = q_upd * F32(scale)
         q_out[0] = q_out[0] + q_upd
@@ -174,8 +184,8 @@ def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
             g_star = exp_u / denom[None, :]
 
             pip_star = jnp.sum(g_star, axis=0)
-            coupling = jnp.dot((pip_star * mu_mult_max)[None, :], R_abs,
-                               preferred_element_type=F32)[0]
+            coupling = _row_matmul((pip_star * mu_mult_max)[None, :],
+                                   R_abs)[0]
             coupling = coupling - R_abs_diag * pip_star * mu_mult_max
             w = (1.0 / (1.0 + coupling))[None, :]
 
@@ -183,8 +193,7 @@ def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
             mu_cur = mu_cur + w * (mu_star - mu_cur)
             eta_new = jnp.sum(g_cur * mu_cur, axis=0)
             d_in = (eta_new - eta_cur) * mask_t
-            q_cur = q_cur + jnp.dot(d_in[None, :], R_tt,
-                                    preferred_element_type=F32)[0] - d_in
+            q_cur = q_cur + _row_matmul(d_in[None, :], R_tt)[0] - d_in
             eta_cur = eta_cur + d_in
 
         d_t = (eta_cur - eta_t) * mask_t
@@ -193,7 +202,7 @@ def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         mu_out[0, :, sl] = mu_cur
         eta_out[0, 0, sl] = eta_t + d_t
 
-        q_upd = jnp.dot(d_t[None, :], D_rows, preferred_element_type=F32)[0]
+        q_upd = _row_matmul(d_t[None, :], D_rows)[0]
         if scale != 1.0:
             q_upd = q_upd * F32(scale)
         q_out[0, 0] = q_out[0, 0] + q_upd
