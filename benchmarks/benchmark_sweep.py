@@ -62,12 +62,19 @@ def main():
              'pallas': lambda ld, st, sb, nf, hy, act, **kw:
                  cavi_sweep_pallas(ld, st, sb, nf, hy, act, **kw)}
 
+    def _flag(name, default, cast):
+        if f'--{name}' in sys.argv:
+            vals = sys.argv[sys.argv.index(f'--{name}') + 1]
+            return [cast(v) for v in vals.split(',')]
+        return default
+
     configs = itertools.product(
-        ['xla', 'pallas'],
-        [1, 8] if quick else [1, 8, 32],
-        [True] if quick else [True, False],
-        [128],
-        [4, 8],
+        _flag('impls', ['xla', 'pallas'], str),
+        _flag('S', [1, 8] if quick else [1, 8, 32], int),
+        _flag('quantize', [True] if quick else [True, False],
+              lambda v: v in ('1', 'true', 'True')),
+        _flag('tile', [128], int),
+        _flag('inner', [4, 8], int),
     )
 
     rows = []

@@ -109,6 +109,13 @@ def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
     cuts.append(m)
     cuts = sorted(set(cuts))
 
+    # vectorized entry coordinates (row, col) for every stored element —
+    # row-by-row Python would crawl on the 18M-variant UKB stores:
+    rows_all = np.repeat(np.arange(m), widths)
+    offs = np.arange(len(data)) - np.repeat(indptr[:-1].astype(np.int64),
+                                            widths)
+    cols_all = np.repeat(left.astype(np.int64), widths) + offs
+
     blocks = []
     for lo, hi in zip(cuts[:-1], cuts[1:]):
         width = hi - lo
@@ -118,12 +125,13 @@ def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
                 f"never pinches off — this looks like a windowed (non-block) "
                 f"LD estimator. Pack it block-banded via "
                 f"SummaryStatsDataset.from_banded instead of densifying.")
+        seg = slice(int(indptr[lo]), int(indptr[hi]))
+        r = rows_all[seg] - lo
+        c = cols_all[seg] - lo
+        v = data[seg]
+        sel = (c >= r) & (c < width)   # upper triangle; symmetry fills the rest
         blk = np.zeros((width, width))
-        for j in range(lo, hi):
-            row = data[indptr[j]:indptr[j + 1]]
-            cols = np.arange(left[j], left[j] + len(row))
-            sel = cols >= j            # upper triangle; symmetry fills the rest
-            blk[j - lo, cols[sel] - lo] = row[sel]
+        blk[r[sel], c[sel]] = v[sel]
         blk = blk + blk.T - np.diag(np.diag(blk))
         np.fill_diagonal(blk, 1.0)
         blocks.append(blk)
@@ -212,10 +220,12 @@ def load_magenpy_zarr(path):
         new_indptr = np.zeros(m + 1, dtype=np.int64)
         new_indptr[1:] = np.cumsum(widths + 1)
         new_data = np.empty(int(new_indptr[-1]), dtype=data.dtype)
-        for row in range(m):
-            s, e = int(new_indptr[row]), int(new_indptr[row + 1])
-            new_data[s] = diag_val
-            new_data[s + 1:e] = data[indptr[row]:indptr[row + 1]]
+        new_data[new_indptr[:-1]] = diag_val
+        # vectorized scatter of the stored entries one slot after each
+        # row's new diagonal element:
+        offs = np.arange(len(data)) - np.repeat(indptr[:-1].astype(np.int64),
+                                                widths)
+        new_data[np.repeat(new_indptr[:-1], widths) + 1 + offs] = data
         data, indptr = new_data, new_indptr
         left_bound = j.astype(np.int64)
     else:
