@@ -130,6 +130,23 @@ def main():
 
     # ---- north-star workload: 100-point grid + BMA (BASELINE.md targets
     # < 60 s on a v5e-16; this runs on ONE chip) ----
+    # (optional sections guarded: the headline JSON line must print even if a
+    # secondary workload fails on a bad day of the shared tunnel)
+    try:
+        _grid_section(ds)
+        _mix_section(ds)
+    except Exception as e:  # noqa: BLE001 — report, don't lose the metric
+        log(f"secondary workload failed: {type(e).__name__}: {e}")
+
+    print(json.dumps({
+        "metric": "genomewide_em_fit_seconds",
+        "value": round(steady, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / steady, 2),
+    }))
+
+
+def _grid_section(ds):
     if '--no-grid' not in sys.argv:
         from viprs_tpu.model import VIPRSGrid
         from viprs_tpu.gridsearch import HyperparameterGrid, bayesian_model_average
@@ -154,6 +171,7 @@ def main():
         log(f"grid(100)+BMA steady-state: {grid_steady:.2f}s "
             f"(north-star target: <60s on 16 chips; this is 1 chip)")
 
+def _mix_section(ds):
     # ---- VIPRSMix at genome scale (reference -m VIPRSMix is a first-class
     # CLI model; e_step.hpp:447-551) ----
     if '--no-mix' not in sys.argv:
@@ -174,13 +192,6 @@ def main():
         mix_steady = time.time() - t0
         log(f"VIPRSMix(K=3) steady-state: {mix_steady:.2f}s over "
             f"{mix2.optim_result.nit} iterations")
-
-    print(json.dumps({
-        "metric": "genomewide_em_fit_seconds",
-        "value": round(steady, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / steady, 2),
-    }))
 
 
 if __name__ == '__main__':
