@@ -106,22 +106,29 @@ def main():
         # otherwise swamp the kernel at small M.
         from functools import partial as _partial
 
+        # NB: ld/sb/nf/hyper/act must be ARGUMENTS — closing over them embeds
+        # the GB-scale LD tiles as HLO constants (and blows the remote-compile
+        # request limit on the axon transport).
         @_partial(jax.jit, static_argnames=('impl_', 'tile_', 'inner_'))
-        def chain(state, impl_, tile_, inner_):
+        def chain(state, ld_, sb_, nf_, hyper_, act_, impl_, tile_, inner_):
             def body(_, st):
-                return impls[impl_](ld, st, sb, nf, hyper, act, tile=tile_,
-                                    inner_steps=inner_)[0]
+                return impls[impl_](ld_, st, sb_, nf_, hyper_, act_,
+                                    tile=tile_, inner_steps=inner_)[0]
             return jax.lax.fori_loop(0, n_rep, body, state)
 
+        def chain_call(st):
+            return chain(st, ld, sb, nf, hyper, act,
+                         impl_=impl, tile_=tile, inner_=inner)
+
         try:
-            warm = chain(state, impl_=impl, tile_=tile, inner_=inner)
+            warm = chain_call(state)
             # axon runtime: block_until_ready does not actually block; force a
             # scalar device->host read to drain the pipeline before timing.
             # The timed call takes the warmup OUTPUT as input so the runtime's
             # execution memoization cannot return a cached result.
             float(np.asarray(warm.eta)[0, 0, 0])
             t0 = time.time()
-            out = chain(warm, impl_=impl, tile_=tile, inner_=inner)
+            out = chain_call(warm)
             float(np.asarray(out.eta)[0, 0, 0])
             dt = (time.time() - t0) / n_rep
         except Exception as e:
