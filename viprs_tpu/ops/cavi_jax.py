@@ -122,7 +122,7 @@ def refresh_q(ld: BlockLD, q, eta_diff):
 
 def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
                      hyper: Hyper, active, scale, tile, n_tiles, relax,
-                     inner_steps):
+                     inner_steps, w_once=True):
     """Gauss-Seidel over tiles within one LD block.
 
     Within a tile the T coordinates update jointly (Jacobi), which overshoots
@@ -182,18 +182,19 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
         mu_cur = mu_t
         eta_cur = eta_t
         q_cur = q_t
-        for _ in range(inner_steps):
+        w = None
+        for step in range(inner_steps):
             mu_star = mu_mult_t * (beta_t - q_cur)
             u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
                 + 0.5 * var_tau_t * mu_star * mu_star
             g_star = jax.nn.sigmoid(u_star)
-            if relax:
+            if relax and not (w_once and step > 0):
                 # gamma-weighted within-tile row dominance -> per-coord step:
                 coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), R_abs,
                                    preferred_element_type=F32)
                 coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
                 w = act / (1.0 + coupling)
-            else:
+            elif not relax:
                 w = act
             g_cur = g_cur + w * (g_star - g_cur)
             mu_cur = mu_cur + w * (mu_star - mu_cur)
@@ -232,10 +233,10 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
     return lax.fori_loop(0, n_tiles, body, (logits_b, mu_b, eta_b, q_b))
 
 
-@partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
+@partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps', 'w_once'))
 def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                hyper: Hyper, active, damping=1.0, tile: int = 128,
-               relax: bool = True, inner_steps: int = 8):
+               relax: bool = True, inner_steps: int = 8, w_once: bool = True):
     """One full CAVI e-step sweep over all blocks and models.
 
     :param ld: BlockLD operator.
@@ -263,7 +264,7 @@ def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
         return _block_tile_loop(D_b, beta_b, n_b, mask_b,
                                 logits_b, mu_b, eta_b, q_b,
                                 hyper, active, ld.scale, tile, n_tiles, relax,
-                                inner_steps)
+                                inner_steps, w_once=w_once)
 
     logits, mu, eta, q = jax.vmap(
         per_block,

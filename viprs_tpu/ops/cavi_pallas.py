@@ -36,21 +36,20 @@ def _eye(n):
 
 
 def _row_matmul(d, R):
-    """(S, T) @ (T, N) -> (S, N).
+    """(S, T) @ (T, N) -> (S, N) on the MXU.
 
-    For S == 1 a systolic-array matmul wastes 127/128 of the MXU on weight
-    loading; a broadcast-multiply + sublane reduction runs on the VPU at full
-    lane width instead. S >= 8 keeps the MXU path (the model axis fills M).
+    (A VPU broadcast-multiply + sublane-reduction variant for S == 1 was
+    measured 2x SLOWER than the MXU matvec at genome scale on v5e — Mosaic's
+    reduction over 128 sublane rows of (T, B) loses to the systolic array even
+    at M=1 — so the MXU path is used unconditionally.)
     """
-    if d.shape[0] == 1:
-        return jnp.sum(d[0][:, None] * R, axis=0, keepdims=True)
     return jnp.dot(d, R, preferred_element_type=F32)
 
 
 def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                   diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
                   logits_out, mu_out, eta_out, q_out,
-                  *, tile, n_tiles, scale, relax, inner_steps):
+                  *, tile, n_tiles, scale, relax, inner_steps, w_once=True):
     """One LD block. diag_ref: (1, B, B) storage dtype; state refs: (1, S, B);
     row refs: (1, 1, B); hyper_ref: (8, S) f32 rows
     [sigma_eps, tau_beta, pi, active, lambda_min]."""
@@ -95,16 +94,17 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         mu_cur = mu_t
         eta_cur = eta_t
         q_cur = q_t
-        for _ in range(inner_steps):
+        w = None
+        for step in range(inner_steps):
             mu_star = mu_mult_t * (beta_t - q_cur)
             u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
                 + 0.5 * var_tau_t * mu_star * mu_star
             g_star = jax.nn.sigmoid(u_star)
-            if relax:
+            if relax and not (w_once and step > 0):
                 coupling = _row_matmul(g_star * jnp.abs(mu_mult_t), R_abs)
                 coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
                 w = act / (1.0 + coupling)
-            else:
+            elif not relax:
                 w = act
             g_cur = g_cur + w * (g_star - g_cur)
             mu_cur = mu_cur + w * (mu_star - mu_cur)
@@ -133,7 +133,7 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
 def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                       diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
                       gamma_out, mu_out, eta_out, q_out,
-                      *, tile, n_tiles, scale, inner_steps):
+                      *, tile, n_tiles, scale, inner_steps, w_once=True):
     """Mixture-prior sweep for one LD block (the Pallas analog of
     cavi_mix._mix_block_tile_loop). diag_ref: (1, B, B) storage dtype;
     gamma/mu refs: (1, K, B); eta/q refs: (1, 1, B); hyper_ref: (8, K) rows
@@ -174,7 +174,8 @@ def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         R_abs_diag = jnp.sum(R_abs * _eye(tile), axis=0)
 
         g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
-        for _ in range(inner_steps):
+        w = None
+        for step in range(inner_steps):
             mu_star = mu_mult_t * (beta_t - q_cur[None, :])
             u = base_logit - 0.5 * jnp.log(var_tau_t) \
                 + 0.5 * var_tau_t * mu_star * mu_star
@@ -183,11 +184,12 @@ def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
             denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
             g_star = exp_u / denom[None, :]
 
-            pip_star = jnp.sum(g_star, axis=0)
-            coupling = _row_matmul((pip_star * mu_mult_max)[None, :],
-                                   R_abs)[0]
-            coupling = coupling - R_abs_diag * pip_star * mu_mult_max
-            w = (1.0 / (1.0 + coupling))[None, :]
+            if not (w_once and step > 0):
+                pip_star = jnp.sum(g_star, axis=0)
+                coupling = _row_matmul((pip_star * mu_mult_max)[None, :],
+                                       R_abs)[0]
+                coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+                w = (1.0 / (1.0 + coupling))[None, :]
 
             g_cur = g_cur + w * (g_star - g_cur)
             mu_cur = mu_cur + w * (mu_star - mu_cur)
