@@ -59,6 +59,8 @@ def main():
         return float(np.log(p) - np.log1p(-p))
 
     impls = {'xla': cavi_sweep,
+             'xla_s1r': lambda ld, st, sb, nf, hy, act, **kw:
+                 cavi_sweep(ld, st, sb, nf, hy, act, s1_reduce=True, **kw),
              'pallas': lambda ld, st, sb, nf, hy, act, **kw:
                  cavi_sweep_pallas(ld, st, sb, nf, hy, act, **kw)}
 

@@ -69,9 +69,18 @@ class Hyper(NamedTuple):
     lambda_min: jnp.ndarray
 
 
-def _dequant_matmul(d_t, rows, scale):
-    """(S,T) @ (T,B) with on-the-fly dequantization of the LD tile."""
-    out = jnp.dot(d_t, rows.astype(F32), preferred_element_type=F32)
+def _dequant_matmul(d_t, rows, scale, s1_reduce=False):
+    """(S,T) @ (T,B) with on-the-fly dequantization of the LD tile.
+
+    ``s1_reduce``: at S == 1 lower as a fused multiply + T-axis reduction
+    instead of an M=1 systolic matmul (which wastes 127/128 of the MXU on
+    weight loading). Only used when measurements favor it.
+    """
+    if s1_reduce and d_t.shape[0] == 1:
+        out = jnp.sum(d_t[0][:, None] * rows.astype(F32), axis=0,
+                      keepdims=True)
+    else:
+        out = jnp.dot(d_t, rows.astype(F32), preferred_element_type=F32)
     if scale != 1.0:
         out = out * F32(scale)
     return out
@@ -122,7 +131,7 @@ def refresh_q(ld: BlockLD, q, eta_diff):
 
 def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
                      hyper: Hyper, active, scale, tile, n_tiles, relax,
-                     inner_steps, w_once=True):
+                     inner_steps, w_once=True, s1_reduce=False):
     """Gauss-Seidel over tiles within one LD block.
 
     Within a tile the T coordinates update jointly (Jacobi), which overshoots
@@ -190,8 +199,8 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
             g_star = jax.nn.sigmoid(u_star)
             if relax and not (w_once and step > 0):
                 # gamma-weighted within-tile row dominance -> per-coord step:
-                coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), R_abs,
-                                   preferred_element_type=F32)
+                coupling = _dequant_matmul(g_star * jnp.abs(mu_mult_t), R_abs,
+                                           1.0, s1_reduce=s1_reduce)
                 coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
                 w = act / (1.0 + coupling)
             elif not relax:
@@ -202,8 +211,8 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
             d_in = (eta_new - eta_cur) * mask_t * on
             # refresh the local q for the next inner pass (within-tile only;
             # discarded afterwards — the block-wide update uses d_t below):
-            q_cur = q_cur + jnp.dot(d_in, R_tt, preferred_element_type=F32) \
-                - d_in
+            q_cur = q_cur + _dequant_matmul(d_in, R_tt, 1.0,
+                                            s1_reduce=s1_reduce) - d_in
             eta_cur = eta_cur + d_in
 
         g_new, mu_new = g_cur, mu_cur
@@ -222,7 +231,7 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
 
         # Rank-T q update over the whole block: q_b += d_t @ R[tile_rows, :].
         # (R symmetric: row-slice == column-slice transposed.)
-        q_b = q_b + _dequant_matmul(d_t, D_rows, scale)
+        q_b = q_b + _dequant_matmul(d_t, D_rows, scale, s1_reduce=s1_reduce)
         # The stored diagonal R_jj = 1 also updated q at the focal variants;
         # q excludes the diagonal, so correct it (cf. e_step.hpp:423-428).
         q_tt = lax.dynamic_slice(q_b, (0, idx), (S, tile))
@@ -233,10 +242,12 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
     return lax.fori_loop(0, n_tiles, body, (logits_b, mu_b, eta_b, q_b))
 
 
-@partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps', 'w_once'))
+@partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps', 'w_once',
+                                   's1_reduce'))
 def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                hyper: Hyper, active, damping=1.0, tile: int = 128,
-               relax: bool = True, inner_steps: int = 8, w_once: bool = True):
+               relax: bool = True, inner_steps: int = 8, w_once: bool = True,
+               s1_reduce: bool = False):
     """One full CAVI e-step sweep over all blocks and models.
 
     :param ld: BlockLD operator.
@@ -264,7 +275,8 @@ def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
         return _block_tile_loop(D_b, beta_b, n_b, mask_b,
                                 logits_b, mu_b, eta_b, q_b,
                                 hyper, active, ld.scale, tile, n_tiles, relax,
-                                inner_steps, w_once=w_once)
+                                inner_steps, w_once=w_once,
+                                s1_reduce=s1_reduce)
 
     logits, mu, eta, q = jax.vmap(
         per_block,
