@@ -93,7 +93,8 @@ def _blosc_decompress(buf: bytes) -> bytes:
     lib.blosc_cbuffer_sizes(src, ctypes.byref(nbytes), ctypes.byref(cbytes),
                             ctypes.byref(blocksize))
     out = ctypes.create_string_buffer(nbytes.value)
-    rc = lib.blosc_decompress_ctx(src, out, nbytes.value, 1)
+    n_threads = max(1, (os.cpu_count() or 2) // 2)
+    rc = lib.blosc_decompress_ctx(src, out, nbytes.value, n_threads)
     if rc < 0 or rc != nbytes.value:
         raise ValueError(f"blosc decompression failed (rc={rc}, "
                          f"expected {nbytes.value} bytes)")
@@ -267,16 +268,28 @@ class ZarrArray:
         if self.fill_value is not None:
             out[...] = self.fill_value
         import itertools
-        for idx in itertools.product(*(range(g) for g in grid)):
+
+        def _fill(idx):
             buf = self._read_chunk(idx)
             if buf is None:
-                continue
+                return
             chunk = np.frombuffer(buf, dtype=self.dtype)
             chunk = chunk.reshape(self.chunks, order=self.order)
             sel = tuple(slice(i * c, min((i + 1) * c, s))
                         for i, c, s in zip(idx, self.chunks, self.shape))
             crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
             out[sel] = chunk[crop]
+
+        indices = list(itertools.product(*(range(g) for g in grid)))
+        if len(indices) > 4:
+            # IO + decompression release the GIL; thread across chunks
+            # (matters at the 18M-variant scale of the published stores):
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(indices))) as pool:
+                list(pool.map(_fill, indices))
+        else:
+            for idx in indices:
+                _fill(idx)
         return out
 
     def __array__(self, dtype=None, copy=None):
