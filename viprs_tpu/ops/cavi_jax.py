@@ -176,11 +176,14 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
         mu_mult_t = n_t / (var_tau_t * sig_e)
 
         D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
-        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile)).astype(F32)
-        if scale != 1.0:
-            R_tt = R_tt * F32(scale)
+        # Keep the (T, T) diagonal tile in storage dtype (int8 when quantized):
+        # each consumer below fuses its own dequantization, so the inner loop's
+        # repeated reads stream 1-byte data instead of a materialized f32 copy
+        # (the f32 (NB, T, T) tiles re-read inner_steps+1 times were the
+        # dominant HBM traffic of the whole sweep at S=1).
+        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile))
         R_abs = jnp.abs(R_tt)
-        R_abs_diag = jnp.diagonal(R_abs)[None, :]
+        R_abs_diag = jnp.diagonal(R_abs).astype(F32)[None, :] * F32(scale)
 
         # Inner fixed-point iterations on the tile: each pass recomputes the
         # coordinate updates from a tile-locally refreshed q, converging toward
@@ -200,7 +203,7 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
             if relax and not (w_once and step > 0):
                 # gamma-weighted within-tile row dominance -> per-coord step:
                 coupling = _dequant_matmul(g_star * jnp.abs(mu_mult_t), R_abs,
-                                           1.0, s1_reduce=s1_reduce)
+                                           scale, s1_reduce=s1_reduce)
                 coupling = coupling - R_abs_diag * g_star * jnp.abs(mu_mult_t)
                 w = act / (1.0 + coupling)
             elif not relax:
@@ -211,7 +214,7 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
             d_in = (eta_new - eta_cur) * mask_t * on
             # refresh the local q for the next inner pass (within-tile only;
             # discarded afterwards — the block-wide update uses d_t below):
-            q_cur = q_cur + _dequant_matmul(d_in, R_tt, 1.0,
+            q_cur = q_cur + _dequant_matmul(d_in, R_tt, scale,
                                             s1_reduce=s1_reduce) - d_in
             eta_cur = eta_cur + d_in
 
