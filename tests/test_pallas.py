@@ -71,6 +71,40 @@ def test_pallas_matches_xla_interpret(problem, monkeypatch):
         np.asarray(jax.nn.sigmoid(out_x.logits)), atol=1e-5)
 
 
+def test_pallas_s1_matches_xla_interpret(problem, monkeypatch):
+    """The chunked single-model kernel must reproduce the XLA sweep at S=1,
+    including the ragged last chunk (nb not divisible by the chunk size)."""
+    from viprs_tpu.ops import cavi_pallas
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    state, hyper = _state_hyper(lay, S=1)
+    assert lay.nb % 2 == 0 or lay.nb < 8  # exercise G=min(chunk, nb)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+    # chunk > 1 and not dividing nb exercises the masked ragged edge:
+    out_p, diff_p = cavi_pallas.cavi_sweep_pallas_s1.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.ones(1), tile=64, chunk=2)
+
+    out_x, diff_x = cavi_sweep(ld, state, sb, nf, hyper, jnp.ones(1), tile=64)
+
+    np.testing.assert_allclose(np.asarray(out_p.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(diff_p), np.asarray(diff_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(out_p.logits)),
+        np.asarray(jax.nn.sigmoid(out_x.logits)), atol=1e-5)
+
+
 def test_mixture_pallas_matches_xla_interpret(problem, monkeypatch):
     """The Pallas mixture kernel must reproduce the XLA mixture sweep
     (interpret mode on CPU)."""

@@ -130,6 +130,183 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
         q_out[0, :, sl] = q_out[0, :, sl] - d_t
 
 
+def _sweep_kernel_s1(beta_ref, n_ref, mask_ref, hyper_ref,
+                     diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
+                     logits_out, mu_out, eta_out, q_out,
+                     *, tile, n_tiles, scale, relax, inner_steps, w_once=True):
+    """Single-model (S == 1) sweep over a CHUNK of G LD blocks.
+
+    At S == 1 the rank-T q-updates are matvecs: on the MXU they are
+    weight-load-bound (1 activation row per (T, B) weight tile — 1/128
+    utilization — measured ~11.5 ms/sweep at 1.1M variants however lowered by
+    XLA). This kernel instead batches G blocks per grid step and lowers every
+    matvec as a VPU broadcast-multiply + sublane reduction, exploiting the
+    symmetry of R so the contraction axis always rides the sublane dimension:
+
+        (Σ_k R_jk d_k)_j  =  sum(d[:, :, None] * R[:, k, j], axis=k)
+
+    The int8 tiles dequantize in-register after the HBM->VMEM stream; nothing
+    f32 ever round-trips to HBM (XLA materializes a converted copy of every
+    (T, B) row slice, which costs more traffic than the LD itself).
+
+    diag_ref: (G, B, B) storage dtype; state refs: (G, B) f32;
+    hyper_ref: (8, 1) f32 rows [sigma_eps, tau_beta, pi, active, lambda_min].
+    """
+    sig_e = hyper_ref[0, 0]
+    tau_b = hyper_ref[1, 0]
+    pi_ = hyper_ref[2, 0]
+    act = hyper_ref[3, 0]
+    lam = hyper_ref[4, 0]
+    on = (act > 0.0).astype(F32)
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    logits_out[...] = logits_ref[...]
+    mu_out[...] = mu_ref[...]
+    eta_out[...] = eta_ref[...]
+    q_out[...] = q_ref[...]
+
+    for t in range(n_tiles):
+        sl = pl.ds(t * tile, tile)
+        q_t = q_out[:, sl]                       # (G, T)
+        eta_t = eta_out[:, sl]
+        logits_t = logits_out[:, sl]
+        mu_t = mu_out[:, sl]
+        n_t = n_ref[:, sl]
+        beta_t = beta_ref[:, sl]
+        mask_t = mask_ref[:, sl]
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+
+        R_tt = diag_ref[:, sl, sl].astype(F32) * F32(scale)   # (G, T, T)
+        R_abs = jnp.abs(R_tt)
+        # Correlation tiles have unit diagonal exactly where a variant occupies
+        # the lane (packed gaps and padding are zero) — i.e. R_jj == mask_j.
+        R_abs_diag = mask_t
+
+        g_cur = jax.nn.sigmoid(logits_t)
+        mu_cur = mu_t
+        eta_cur = eta_t
+        q_cur = q_t
+        w = None
+        for step in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t - q_cur)
+            u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star
+            g_star = jax.nn.sigmoid(u_star)
+            if relax and not (w_once and step > 0):
+                c = g_star * jnp.abs(mu_mult_t)              # (G, T)
+                coupling = jnp.sum(c[:, :, None] * R_abs, axis=1)
+                coupling = coupling - R_abs_diag * c
+                w = act / (1.0 + coupling)
+            elif not relax:
+                w = act
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = g_cur * mu_cur
+            d_in = (eta_new - eta_cur) * mask_t * on
+            q_cur = q_cur + jnp.sum(d_in[:, :, None] * R_tt, axis=1) - d_in
+            eta_cur = eta_cur + d_in
+
+        d_t = (eta_cur - eta_t) * mask_t * on
+        keep = jnp.abs(d_t) >= ETA_DIFF_EPS
+        d_t = jnp.where(keep, d_t, 0.0)
+
+        u_new = jnp.log(jnp.clip(g_cur, F32(1e-30), None)) \
+            - jnp.log1p(-jnp.clip(g_cur, None, F32(1.0 - 1e-7)))
+        logits_out[:, sl] = jnp.where(keep, u_new, logits_t)
+        mu_out[:, sl] = jnp.where(keep, mu_cur, mu_t)
+        eta_out[:, sl] = eta_t + d_t
+
+        # Rank-T q update over the whole chunk of blocks: rows k of each tile
+        # against the full block width (R symmetric: R[k, j] == R[j, k]).
+        R_rows = diag_ref[:, sl, :].astype(F32)              # (G, T, B)
+        q_upd = jnp.sum(d_t[:, :, None] * R_rows, axis=1) * F32(scale)
+        q_out[...] = q_out[...] + q_upd
+        # the stored unit diagonal also updated q at the focal variants:
+        q_out[:, sl] = q_out[:, sl] - d_t
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps',
+                                             'chunk'))
+def cavi_sweep_pallas_s1(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
+                         hyper: Hyper, active, tile: int = 128,
+                         relax: bool = True, inner_steps: int = 8,
+                         chunk: int = 8):
+    """Single-model Pallas sweep (see _sweep_kernel_s1); same contract as
+    cavi_jax.cavi_sweep restricted to S == 1."""
+    B = ld.block_size
+    NB = ld.nb
+    assert state.logits.shape[0] == 1
+    assert B % tile == 0
+    n_tiles = B // tile
+    state = CaviState(*(x.astype(F32) for x in state))
+    eta0 = state.eta
+
+    active = active.astype(F32)
+    hyper_mat = jnp.stack([hyper.sigma_eps.astype(F32),
+                           hyper.tau_beta.astype(F32),
+                           hyper.pi.astype(F32),
+                           active,
+                           hyper.lambda_min.astype(F32),
+                           jnp.zeros_like(active), jnp.zeros_like(active),
+                           jnp.zeros_like(active)])        # (8, 1)
+
+    kernel = functools.partial(_sweep_kernel_s1, tile=tile, n_tiles=n_tiles,
+                               scale=ld.scale, relax=relax,
+                               inner_steps=inner_steps)
+
+    def call(G, diag, sb, nf, mask, lo, mu_, eta_, q_):
+        """One pallas_call over a range whose block count is divisible by G.
+
+        (Mosaic requires the state blocks' sublane dim G to be a multiple of 8
+        or equal to the array dim, and miscompiles ragged final chunks with
+        input/output aliasing — so the caller splits NB into a G-divisible
+        main range plus one remainder call with G == its whole range.)
+        """
+        nb_r = diag.shape[0]
+        state_spec = pl.BlockSpec((G, B), lambda c: (c, c * 0),
+                                  memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(nb_r // G,),
+            in_specs=[
+                state_spec, state_spec, state_spec,
+                pl.BlockSpec((8, 1), lambda c: (c * 0, c * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, B, B), lambda c: (c, c * 0, c * 0),
+                             memory_space=pltpu.VMEM),
+                state_spec, state_spec, state_spec, state_spec,
+            ],
+            out_specs=[state_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((nb_r, B), F32) for _ in range(4)],
+            input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        )(sb, nf, mask, hyper_mat, diag, lo, mu_, eta_, q_)
+
+    n_main = (NB // chunk) * chunk
+    if n_main == 0 or n_main == NB:
+        G = chunk if n_main else NB
+        logits, mu, eta, q = call(G, ld.diag, std_beta, n_per_snp, ld.mask,
+                                  state.logits[0], state.mu[0],
+                                  state.eta[0], state.q[0])
+    else:
+        parts = []
+        for lo_b, hi_b, G in ((0, n_main, chunk), (n_main, NB, NB - n_main)):
+            parts.append(call(
+                G, ld.diag[lo_b:hi_b], std_beta[lo_b:hi_b],
+                n_per_snp[lo_b:hi_b], ld.mask[lo_b:hi_b],
+                state.logits[0, lo_b:hi_b], state.mu[0, lo_b:hi_b],
+                state.eta[0, lo_b:hi_b], state.q[0, lo_b:hi_b]))
+        logits, mu, eta, q = (jnp.concatenate([a, b], axis=0)
+                              for a, b in zip(*parts))
+
+    state_new = CaviState(logits=logits[None], mu=mu[None],
+                          eta=eta[None], q=q[None])
+    eta_diff = state_new.eta - eta0
+    q = refresh_q(ld, state_new.q, eta_diff)
+    return state_new._replace(q=q), eta_diff
+
+
 def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                       diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
                       gamma_out, mu_out, eta_out, q_out,
@@ -283,10 +460,17 @@ def cavi_sweep_mixture_pallas(ld: BlockLD, state, std_beta, n_per_snp,
 def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                       hyper: Hyper, active, tile: int = 128,
                       relax: bool = True, inner_steps: int = 8):
-    """Pallas-fused CAVI sweep; same contract as cavi_jax.cavi_sweep."""
+    """Pallas-fused CAVI sweep; same contract as cavi_jax.cavi_sweep.
+
+    S == 1 dispatches to the chunked single-model kernel (cavi_sweep_pallas_s1)
+    whose VPU lowering avoids the M=1 MXU weight-load bottleneck."""
     B = ld.block_size
     NB = ld.nb
     S = state.logits.shape[0]
+    if S == 1:
+        return cavi_sweep_pallas_s1(ld, state, std_beta, n_per_snp, hyper,
+                                    active, tile=tile, relax=relax,
+                                    inner_steps=inner_steps)
     assert B % tile == 0
     n_tiles = B // tile
     eta0 = state.eta
