@@ -63,6 +63,11 @@ def main():
                  cavi_sweep(ld, st, sb, nf, hy, act, s1_reduce=True, **kw),
              'pallas': lambda ld, st, sb, nf, hy, act, **kw:
                  cavi_sweep_pallas(ld, st, sb, nf, hy, act, **kw)}
+    # pallasN: the chunked S=1 kernel with an explicit block-chunk size.
+    for _g in (4, 8, 16, 24, 32, 48):
+        impls[f'pallas{_g}'] = (
+            lambda ld, st, sb, nf, hy, act, _g=_g, **kw:
+                cavi_sweep_pallas(ld, st, sb, nf, hy, act, chunk=_g, **kw))
 
     def _flag(name, default, cast):
         if f'--{name}' in sys.argv:

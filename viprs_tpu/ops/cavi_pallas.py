@@ -267,6 +267,12 @@ def cavi_sweep_pallas_s1(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
         nb_r = diag.shape[0]
         state_spec = pl.BlockSpec((G, B), lambda c: (c, c * 0),
                                   memory_space=pltpu.VMEM)
+        # The double-buffered (G, B, B) diag stream alone exceeds the default
+        # 16 MB scoped-VMEM budget at G=8, B=1024 (v5e has 128 MiB physical
+        # VMEM; the default limit is just conservative). Size the limit to the
+        # streamed tiles plus headroom for the f32 state/intermediates.
+        diag_stream = 2 * G * B * B * diag.dtype.itemsize
+        vmem_limit = min(110 * 1024 * 1024, diag_stream + 32 * 1024 * 1024)
         return pl.pallas_call(
             kernel,
             grid=(nb_r // G,),
@@ -281,6 +287,7 @@ def cavi_sweep_pallas_s1(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
             out_specs=[state_spec] * 4,
             out_shape=[jax.ShapeDtypeStruct((nb_r, B), F32) for _ in range(4)],
             input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         )(sb, nf, mask, hyper_mat, diag, lo, mu_, eta_, q_)
 
     n_main = (NB // chunk) * chunk
@@ -456,10 +463,12 @@ def cavi_sweep_mixture_pallas(ld: BlockLD, state, std_beta, n_per_snp,
     return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
 
 
-@functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
+@functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps',
+                                              'chunk'))
 def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                       hyper: Hyper, active, tile: int = 128,
-                      relax: bool = True, inner_steps: int = 8):
+                      relax: bool = True, inner_steps: int = 8,
+                      chunk: int = 8):
     """Pallas-fused CAVI sweep; same contract as cavi_jax.cavi_sweep.
 
     S == 1 dispatches to the chunked single-model kernel (cavi_sweep_pallas_s1)
@@ -470,7 +479,7 @@ def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
     if S == 1:
         return cavi_sweep_pallas_s1(ld, state, std_beta, n_per_snp, hyper,
                                     active, tile=tile, relax=relax,
-                                    inner_steps=inner_steps)
+                                    inner_steps=inner_steps, chunk=chunk)
     assert B % tile == 0
     n_tiles = B // tile
     eta0 = state.eta
