@@ -148,3 +148,101 @@ def test_mixture_pallas_matches_xla_interpret(problem, monkeypatch):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(diff_p), np.asarray(diff_x),
                                atol=1e-5)
+
+
+def test_skip_kernel_matches_xla_interpret(problem, monkeypatch):
+    """The active-block-compacted skipping kernel: active blocks must match the
+    XLA sweep; quiescent blocks must pass through bit-exactly."""
+    from viprs_tpu.ops import cavi_pallas
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    state, hyper = _state_hyper(lay, S=1)
+    # non-trivial starting point so skipping is observable:
+    state = state._replace(mu=0.01 * sb[None], eta=0.002 * sb[None])
+    from viprs_tpu.ops.cavi_jax import compute_q
+    state = state._replace(q=compute_q(ld, state.eta))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+
+    nb = lay.nb
+    # all blocks active == full sweep:
+    out_all, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.ones(1),
+        jnp.arange(nb, dtype=jnp.int32), nb, tile=64, chunk=2)
+    out_x, _ = cavi_sweep(ld, state, sb, nf, hyper, jnp.ones(1), tile=64)
+    np.testing.assert_allclose(np.asarray(out_all.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_all.q), np.asarray(out_x.q),
+                               atol=1e-4)
+
+    # subset active (with a ragged last chunk): frozen blocks bit-identical:
+    act = np.zeros(nb, bool)
+    act[::2] = True
+    k = int(act.sum())
+    idx = jnp.asarray(np.concatenate([np.nonzero(act)[0],
+                                      np.zeros(nb - k)]).astype(np.int32))
+    out_sub, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.ones(1), idx, k, tile=64, chunk=2)
+    for name in ('logits', 'mu', 'eta'):
+        got = np.asarray(getattr(out_sub, name))[0]
+        want = np.asarray(getattr(out_x, name))[0]
+        inp = np.asarray(getattr(state, name))[0]
+        np.testing.assert_allclose(got[act], want[act], atol=1e-4)
+        np.testing.assert_array_equal(got[~act], inp[~act])
+
+    # none active: state passes through bit-exactly:
+    out_none, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.ones(1),
+        jnp.zeros(nb, jnp.int32), 0, tile=64, chunk=2)
+    for name in ('logits', 'mu', 'eta', 'q'):
+        np.testing.assert_array_equal(np.asarray(getattr(out_none, name)),
+                                      np.asarray(getattr(state, name)))
+
+
+def test_proposal_mask_detects_quiescence(problem):
+    """block_proposal_mask: blocks at their CAVI fixed point are inactive; a
+    hyperparameter change re-activates them."""
+    from viprs_tpu.ops.cavi_pallas import block_proposal_mask
+    from viprs_tpu.ops.cavi_jax import compute_q
+
+    ld, lay, sb, nf = problem
+    state, hyper = _state_hyper(lay, S=1)
+    state = state._replace(q=compute_q(ld, state.eta))
+    st = state
+    for _ in range(60):
+        st, _ = cavi_sweep(ld, st, sb, nf, hyper, jnp.ones(1))
+    pm = block_proposal_mask(ld, st, sb, nf, hyper)
+    assert pm.shape == (1, lay.nb)
+    assert int(pm.sum()) < lay.nb  # some blocks quiesced after 60 sweeps
+
+    # a skipping sweep from this state reproduces the full sweep:
+    from viprs_tpu.ops import cavi_pallas
+    idx = jnp.nonzero(pm[0], size=lay.nb, fill_value=0)[0].astype(jnp.int32)
+    import jax.experimental.pallas as pl
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+    pl.pallas_call, saved = interp_call, orig_call
+    try:
+        out_skip, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
+            ld, st, sb, nf, hyper, jnp.ones(1), idx,
+            pm[0].sum().astype(jnp.int32), tile=64, chunk=2)
+    finally:
+        pl.pallas_call = saved
+    out_full, _ = cavi_sweep(ld, st, sb, nf, hyper, jnp.ones(1))
+    np.testing.assert_allclose(np.asarray(out_skip.eta),
+                               np.asarray(out_full.eta), atol=1e-5)
+
+    # shrinking pi strongly re-activates blocks:
+    hyper2 = hyper._replace(pi=hyper.pi * 0.01)
+    pm2 = block_proposal_mask(ld, st, sb, nf, hyper2)
+    assert int(pm2.sum()) > int(pm.sum())

@@ -593,9 +593,13 @@ class VIPRS(BayesPRSModel):
 
         S = self._S
         # The Pallas sweep kernel (VMEM-resident per-block state, MXU rank-T
-        # updates) wins decisively for wide model grids on TPU (~3x at S=100);
-        # the XLA sweep wins at S=1.
-        use_pallas = (S >= 8 and jax.default_backend() in ('tpu', 'axon'))
+        # updates) wins decisively for wide model grids on TPU (~3x at S=100).
+        # At S=1 the block-skipping gather-DMA kernel wins: it streams only
+        # the LD blocks whose CAVI proposal still moves (a few percent after
+        # the early iterations).
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        use_pallas = (S >= 8 and on_tpu)
+        use_skip = (S == 1 and on_tpu)
 
         init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
         if not continued or not self.history.get('ELBO'):
@@ -619,7 +623,7 @@ class VIPRS(BayesPRSModel):
                 max_iter=this_chunk, min_iter=min_iter,
                 f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
                 patience=patience, tile=self.tile,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, use_skip=use_skip,
                 i0=it_done, counters0=counters,
                 sigma_g0=jnp.asarray(np.atleast_1d(self._sigma_g), F64))
 

@@ -314,6 +314,268 @@ def cavi_sweep_pallas_s1(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
     return state_new._replace(q=q), eta_diff
 
 
+def _skip_kernel(idx_ref, n_ref, hyper_ref, diag_hbm, consts_hbm, stack_in,
+                 stack_out, cbuf, sbuf, dbuf, sem_c, sem_s, sem_d, sem_o,
+                 *, G, B, tile, n_tiles, scale, relax, inner_steps,
+                 w_once=True):
+    """Active-block-compacted single-model sweep (the TPU analog of the
+    reference's per-variant skip threshold, e_step.hpp:382,410-413, lifted to
+    LD-block granularity).
+
+    The caller passes the compacted list of active block indices (``idx_ref``,
+    SMEM) and their count (``n_ref``); the kernel gathers chunks of G active
+    blocks with manual double-buffered DMAs — (B, B) LD tile + one contiguous
+    (4, B) state row + one (3, B) consts row per block — computes the same
+    tile-Gauss-Seidel update as ``_sweep_kernel_s1``, and scatters the updated
+    state back in place. ``stack_out`` is aliased to ``stack_in`` so the
+    untouched (quiescent) blocks persist without any copy or HBM traffic.
+
+    Why gridless + fori_loop: this toolchain's Mosaic cannot legalize manual
+    DMA inside a ``grid=`` pallas_call (nor scalar-prefetch index maps); a
+    single-invocation kernel with an internal loop compiles and runs.
+
+    idx_ref: (NB,) i32 SMEM; n_ref: (1,) i32 SMEM; hyper_ref: (8,) f32 SMEM
+    rows [sigma_eps, tau_beta, pi, active, lambda_min];
+    diag_hbm: (NB, B, B) storage dtype, ANY; consts_hbm: (NB, 3, B) f32 ANY
+    rows [std_beta, n_per_snp, mask]; stack_in/out: (NB, 4, B) f32 ANY rows
+    [logits, mu, eta, q].
+    """
+    I32 = jnp.int32
+    n = n_ref[0]
+    nc = lax.div(n + I32(G - 1), I32(G))
+    sig_e = hyper_ref[0]
+    tau_b = hyper_ref[1]
+    pi_ = hyper_ref[2]
+    act = hyper_ref[3]
+    lam = hyper_ref[4]
+    on = jnp.where(act > 0.0, F32(1.0), F32(0.0))
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    def start_chunk(c, slot):
+        base = c * I32(G)
+        cnt = n - base
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot, I32(g)],
+                                      sem_d.at[slot, I32(g)]).start()
+                pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot, I32(g)],
+                                      sem_c.at[slot, I32(g)]).start()
+                pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot, I32(g)],
+                                      sem_s.at[slot, I32(g)]).start()
+
+    @pl.when(n > 0)
+    def _():
+        start_chunk(I32(0), I32(0))
+
+    def body(c, carry):
+        slot = lax.rem(c, I32(2))
+
+        @pl.when(c + I32(1) < nc)
+        def _():
+            start_chunk(c + I32(1), lax.rem(c + I32(1), I32(2)))
+
+        base = c * I32(G)
+        cnt = n - base
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot, I32(g)],
+                                      sem_d.at[slot, I32(g)]).wait()
+                pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot, I32(g)],
+                                      sem_c.at[slot, I32(g)]).wait()
+                pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot, I32(g)],
+                                      sem_s.at[slot, I32(g)]).wait()
+
+        cb = cbuf.at[slot]                          # (G, 3, B)
+        sb = sbuf.at[slot]                          # (G, 4, B) — updated in place
+        # Lanes of slots past the end of the compacted list hold stale data;
+        # mask them so their (garbage) updates are zeroed and never written.
+        valid = (jax.lax.broadcasted_iota(I32, (G, 1), 0) < cnt).astype(F32)
+
+        for t in range(n_tiles):
+            sl = pl.ds(t * tile, tile)
+            q_t = sb[:, 3, sl]
+            eta_t = sb[:, 2, sl]
+            logits_t = sb[:, 0, sl]
+            mu_t = sb[:, 1, sl]
+            nn_t = cb[:, 1, sl]
+            bb_t = cb[:, 0, sl]
+            mm_t = cb[:, 2, sl] * valid
+
+            var_tau_t = nn_t * (1.0 + lam) / sig_e + tau_b
+            mu_mult_t = nn_t / (var_tau_t * sig_e)
+
+            R_tt = dbuf[slot, :, sl, sl].astype(F32) * F32(scale)  # (G, T, T)
+            R_abs = jnp.abs(R_tt)
+            # unit diagonal exactly on occupied lanes (see _sweep_kernel_s1):
+            R_abs_diag = mm_t
+
+            g_cur = jax.nn.sigmoid(logits_t)
+            mu_cur = mu_t
+            eta_cur = eta_t
+            q_cur = q_t
+            w = None
+            for step in range(inner_steps):
+                mu_star = mu_mult_t * (bb_t - q_cur)
+                u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
+                    + 0.5 * var_tau_t * mu_star * mu_star
+                g_star = jax.nn.sigmoid(u_star)
+                if relax and not (w_once and step > 0):
+                    cpl = g_star * jnp.abs(mu_mult_t)            # (G, T)
+                    coupling = jnp.sum(cpl[:, :, None] * R_abs, axis=1)
+                    coupling = coupling - R_abs_diag * cpl
+                    w = act / (1.0 + coupling)
+                elif not relax:
+                    w = act
+                g_cur = g_cur + w * (g_star - g_cur)
+                mu_cur = mu_cur + w * (mu_star - mu_cur)
+                eta_new = g_cur * mu_cur
+                d_in = (eta_new - eta_cur) * mm_t * on
+                q_cur = q_cur + jnp.sum(d_in[:, :, None] * R_tt, axis=1) - d_in
+                eta_cur = eta_cur + d_in
+
+            d_t = (eta_cur - eta_t) * mm_t * on
+            keep = jnp.abs(d_t) >= ETA_DIFF_EPS
+            d_t = jnp.where(keep, d_t, 0.0)
+
+            u_new = jnp.log(jnp.clip(g_cur, F32(1e-30), None)) \
+                - jnp.log1p(-jnp.clip(g_cur, None, F32(1.0 - 1e-7)))
+            sb[:, 0, sl] = jnp.where(keep, u_new, logits_t)
+            sb[:, 1, sl] = jnp.where(keep, mu_cur, mu_t)
+            sb[:, 2, sl] = eta_t + d_t
+
+            R_rows = dbuf[slot, :, sl, :].astype(F32)            # (G, T, B)
+            q_upd = jnp.sum(d_t[:, :, None] * R_rows, axis=1) * F32(scale)
+            sb[:, 3, :] = sb[:, 3, :] + q_upd
+            sb[:, 3, sl] = sb[:, 3, sl] - d_t
+
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(sbuf.at[slot, I32(g)], stack_out.at[b],
+                                      sem_o.at[slot, I32(g)]).start()
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(sbuf.at[slot, I32(g)], stack_out.at[b],
+                                      sem_o.at[slot, I32(g)]).wait()
+        return 0
+
+    lax.fori_loop(I32(0), nc, body, 0)
+
+
+def block_proposal_mask(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
+                        hyper: Hyper, eps=ETA_DIFF_EPS):
+    """Per-block activity check for the skipping sweep — no LD traffic.
+
+    Computes the unrelaxed first-step CAVI proposal for every variant from the
+    cached residual ``q`` and the *current* hyperparameters (so hyperparameter
+    drift re-activates blocks automatically) and flags a block active iff any
+    of its lanes proposes a step >= eps. A block with all proposals < eps is a
+    fixed point of its own (keep-gated) sweep: skipping it reproduces the
+    kernel's output exactly. Mirrors the reference's per-variant skip
+    threshold (e_step.hpp:382,404-413) at block granularity.
+
+    Returns (S, NB) bool.
+    """
+    sig_e = hyper.sigma_eps[:, None, None].astype(F32)
+    tau_b = hyper.tau_beta[:, None, None].astype(F32)
+    pi_ = hyper.pi[:, None, None].astype(F32)
+    lam = hyper.lambda_min[:, None, None].astype(F32)
+    n = n_per_snp[None]
+    var_tau = n * (1.0 + lam) / sig_e + tau_b
+    mu_star = (n / (var_tau * sig_e)) * (std_beta[None] - state.q)
+    u_star = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b) \
+        - 0.5 * jnp.log(var_tau) + 0.5 * var_tau * mu_star * mu_star
+    eta_star = jax.nn.sigmoid(u_star) * mu_star
+    prop = jnp.abs(eta_star - state.eta) * ld.mask[None]
+    return jnp.max(prop, axis=2) >= eps
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps',
+                                             'chunk'))
+def cavi_sweep_pallas_s1_skip(ld: BlockLD, state: CaviState, std_beta,
+                              n_per_snp, hyper: Hyper, active, idx, n_active,
+                              tile: int = 128, relax: bool = True,
+                              inner_steps: int = 8, chunk: int = 8):
+    """Single-model sweep over the compacted active-block list only.
+
+    Same contract as cavi_sweep_pallas_s1 plus ``idx`` ((NB,) i32, the active
+    block indices compacted to the front — e.g. from jnp.nonzero(mask,
+    size=NB)) and ``n_active`` (scalar/1-element i32). Quiescent blocks are
+    untouched (state passes through bit-exactly, no HBM traffic).
+    """
+    B = ld.block_size
+    NB = ld.nb
+    G = chunk
+    assert state.logits.shape[0] == 1
+    assert B % tile == 0
+    n_tiles = B // tile
+    state = CaviState(*(x.astype(F32) for x in state))
+    eta0 = state.eta
+
+    active = active.astype(F32)
+    hyper_vec = jnp.stack([hyper.sigma_eps.astype(F32)[0],
+                           hyper.tau_beta.astype(F32)[0],
+                           hyper.pi.astype(F32)[0],
+                           active[0],
+                           hyper.lambda_min.astype(F32)[0],
+                           F32(0.0), F32(0.0), F32(0.0)])          # (8,)
+
+    consts = jnp.stack([std_beta.astype(F32), n_per_snp.astype(F32),
+                        ld.mask.astype(F32),
+                        jnp.zeros_like(ld.mask, F32)], axis=1)     # (NB, 4, B)
+    # (4 rows, not 3: the f32 VMEM sublane tiling is 4, and Mosaic requires
+    # DMA slice shapes aligned to it.)
+    stack = jnp.stack([state.logits[0], state.mu[0],
+                       state.eta[0], state.q[0]], axis=1)          # (NB, 4, B)
+
+    kernel = functools.partial(_skip_kernel, G=G, B=B, tile=tile,
+                               n_tiles=n_tiles, scale=ld.scale, relax=relax,
+                               inner_steps=inner_steps)
+
+    dma_bytes = 2 * G * (B * B * ld.diag.dtype.itemsize + 7 * B * 4)
+    vmem_limit = min(110 * 1024 * 1024, dma_bytes + 48 * 1024 * 1024)
+    new_stack = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_active
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # hyper
+            pl.BlockSpec(memory_space=pl.ANY),          # diag
+            pl.BlockSpec(memory_space=pl.ANY),          # consts (NB, 4, B)
+            pl.BlockSpec(memory_space=pl.ANY),          # stack
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((NB, 4, B), F32),
+        input_output_aliases={5: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, G, 4, B), F32),              # cbuf
+            pltpu.VMEM((2, G, 4, B), F32),              # sbuf
+            pltpu.VMEM((2, G, B, B), ld.diag.dtype),    # dbuf
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_c
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_s
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_d
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_o
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+    )(jnp.asarray(idx, jnp.int32), jnp.asarray(n_active, jnp.int32).reshape(1),
+      hyper_vec, ld.diag, consts, stack)
+
+    state_new = CaviState(logits=new_stack[:, 0][None],
+                          mu=new_stack[:, 1][None],
+                          eta=new_stack[:, 2][None],
+                          q=new_stack[:, 3][None])
+    eta_diff = state_new.eta - eta0
+    q = refresh_q(ld, state_new.q, eta_diff)
+    return state_new._replace(q=q), eta_diff
+
+
 def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                       diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
                       gamma_out, mu_out, eta_out, q_out,

@@ -100,7 +100,7 @@ def _hyper_f32(h: Hyper) -> Hyper:
 
 
 @partial(jax.jit, static_argnames=(
-    'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas'))
+    'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas', 'use_skip'))
 def em_fit(ld: BlockLD,
            state0: CaviState,
            std_beta, n_per_snp,
@@ -118,6 +118,7 @@ def em_fit(ld: BlockLD,
            tile: int = 128,
            inner_steps: int = 8,
            use_pallas: bool = False,
+           use_skip: bool = False,
            i0=0,
            counters0: EMCounters = None,
            sigma_g0=None):
@@ -172,7 +173,24 @@ def em_fit(ld: BlockLD,
         act_f = c.active.astype(F32) * c.damping
 
         # ---- E-step ----
-        if use_pallas:
+        if use_skip and S == 1:
+            # Block-skipping sweep: stream (and compute) only the LD blocks
+            # whose first-step CAVI proposal still moves — the block-level
+            # analog of the reference's per-variant skip threshold
+            # (e_step.hpp:382,404-413). After the early iterations only a few
+            # percent of blocks remain active, so the average sweep cost drops
+            # by an order of magnitude (measured in BENCH.md).
+            from .cavi_pallas import (cavi_sweep_pallas_s1_skip,
+                                      block_proposal_mask)
+            blk = block_proposal_mask(ld, c.state, std_beta, n_per_snp,
+                                      h32)[0]                      # (NB,)
+            blk = blk & (act_f[0] > 0.0)
+            idx = jnp.nonzero(blk, size=ld.nb, fill_value=0)[0].astype(I32)
+            n_act = jnp.sum(blk).astype(I32)
+            state, eta_diff = cavi_sweep_pallas_s1_skip(
+                ld, c.state, std_beta, n_per_snp, h32, act_f, idx, n_act,
+                tile=tile, inner_steps=inner_steps)
+        elif use_pallas:
             from .cavi_pallas import cavi_sweep_pallas
             state, eta_diff = cavi_sweep_pallas(ld, c.state, std_beta,
                                                 n_per_snp, h32, act_f,
