@@ -69,6 +69,25 @@ def main():
             lambda ld, st, sb, nf, hy, act, _g=_g, **kw:
                 cavi_sweep_pallas(ld, st, sb, nf, hy, act, chunk=_g, **kw))
 
+    # skipF: the gather-DMA compacted kernel at a fixed active fraction F%
+    # (S=1 only). skip100 == all blocks active (overhead vs the others);
+    # skip7 ~= the measured mean activity of a genome-wide EM fit.
+    def _make_skip(frac):
+        def f(ld, st, sb, nf, hy, act, **kw):
+            import jax.numpy as _jnp
+            import numpy as _np
+            from viprs_tpu.ops.cavi_pallas import cavi_sweep_pallas_s1_skip
+            kw.pop('tile', None)
+            nb = ld.nb
+            k = max(1, int(round(nb * frac / 100)))
+            mask = _np.zeros(nb, bool)
+            mask[_np.random.default_rng(1).choice(nb, size=k, replace=False)] = True
+            return cavi_sweep_pallas_s1_skip(ld, st, sb, nf, hy, act,
+                                             _jnp.asarray(mask), **kw)
+        return f
+    for _f in (100, 25, 7, 2):
+        impls[f'skip{_f}'] = _make_skip(_f)
+
     def _flag(name, default, cast):
         if f'--{name}' in sys.argv:
             vals = sys.argv[sys.argv.index(f'--{name}') + 1]

@@ -227,6 +227,29 @@ class TestVIPRSGrid:
         np.testing.assert_array_equal(np.asarray(g1._last_result.nit),
                                       np.asarray(g2._last_result.nit))
 
+    def test_grid_lane_compaction_matches_fused(self, dataset):
+        """With S >= 8 and bounded chunks, the driver re-runs only the
+        still-active lanes at a smaller power-of-2 width between chunks
+        (model/viprs.py fit). Lane subsetting must be EXACT — every per-lane
+        computation in the fused loop is lane-independent."""
+        grid = HyperparameterGrid(pi_steps=16, n_snps=dataset.m)
+        np.random.seed(42)
+        g1 = VIPRSGrid(dataset, grid)
+        g1.fit(max_iter=150, chunk_iters=150)   # one dispatch, no compaction
+        np.random.seed(42)
+        g2 = VIPRSGrid(dataset, grid)
+        g2.fit(max_iter=150, chunk_iters=2)     # compaction engages
+        np.testing.assert_array_equal(np.asarray(g1._last_result.final_elbo),
+                                      np.asarray(g2._last_result.final_elbo))
+        np.testing.assert_array_equal(np.asarray(g1._last_result.nit),
+                                      np.asarray(g2._last_result.nit))
+        np.testing.assert_array_equal(np.asarray(g1._last_result.status),
+                                      np.asarray(g2._last_result.status))
+        np.testing.assert_array_equal(np.asarray(g1._state.eta),
+                                      np.asarray(g2._state.eta))
+        h1, h2 = np.asarray(g1.history['ELBO']), np.asarray(g2.history['ELBO'])
+        np.testing.assert_array_equal(h1, h2)
+
     def test_pathwise_fit(self, dataset):
         np.random.seed(10)
         g = VIPRSGrid(dataset, self._grid(dataset))

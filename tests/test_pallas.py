@@ -175,7 +175,7 @@ def test_skip_kernel_matches_xla_interpret(problem, monkeypatch):
     # all blocks active == full sweep:
     out_all, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
         ld, state, sb, nf, hyper, jnp.ones(1),
-        jnp.arange(nb, dtype=jnp.int32), nb, tile=64, chunk=2)
+        jnp.ones(nb, bool), tile=64, chunk=2)
     out_x, _ = cavi_sweep(ld, state, sb, nf, hyper, jnp.ones(1), tile=64)
     np.testing.assert_allclose(np.asarray(out_all.eta), np.asarray(out_x.eta),
                                atol=1e-5)
@@ -185,11 +185,9 @@ def test_skip_kernel_matches_xla_interpret(problem, monkeypatch):
     # subset active (with a ragged last chunk): frozen blocks bit-identical:
     act = np.zeros(nb, bool)
     act[::2] = True
-    k = int(act.sum())
-    idx = jnp.asarray(np.concatenate([np.nonzero(act)[0],
-                                      np.zeros(nb - k)]).astype(np.int32))
     out_sub, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
-        ld, state, sb, nf, hyper, jnp.ones(1), idx, k, tile=64, chunk=2)
+        ld, state, sb, nf, hyper, jnp.ones(1), jnp.asarray(act),
+        tile=64, chunk=2)
     for name in ('logits', 'mu', 'eta'):
         got = np.asarray(getattr(out_sub, name))[0]
         want = np.asarray(getattr(out_x, name))[0]
@@ -200,7 +198,7 @@ def test_skip_kernel_matches_xla_interpret(problem, monkeypatch):
     # none active: state passes through bit-exactly:
     out_none, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
         ld, state, sb, nf, hyper, jnp.ones(1),
-        jnp.zeros(nb, jnp.int32), 0, tile=64, chunk=2)
+        jnp.zeros(nb, bool), tile=64, chunk=2)
     for name in ('logits', 'mu', 'eta', 'q'):
         np.testing.assert_array_equal(np.asarray(getattr(out_none, name)),
                                       np.asarray(getattr(state, name)))
@@ -224,7 +222,6 @@ def test_proposal_mask_detects_quiescence(problem):
 
     # a skipping sweep from this state reproduces the full sweep:
     from viprs_tpu.ops import cavi_pallas
-    idx = jnp.nonzero(pm[0], size=lay.nb, fill_value=0)[0].astype(jnp.int32)
     import jax.experimental.pallas as pl
     orig_call = pl.pallas_call
 
@@ -234,8 +231,7 @@ def test_proposal_mask_detects_quiescence(problem):
     pl.pallas_call, saved = interp_call, orig_call
     try:
         out_skip, _ = cavi_pallas.cavi_sweep_pallas_s1_skip.__wrapped__(
-            ld, st, sb, nf, hyper, jnp.ones(1), idx,
-            pm[0].sum().astype(jnp.int32), tile=64, chunk=2)
+            ld, st, sb, nf, hyper, jnp.ones(1), pm[0], tile=64, chunk=2)
     finally:
         pl.pallas_call = saved
     out_full, _ = cavi_sweep(ld, st, sb, nf, hyper, jnp.ones(1))

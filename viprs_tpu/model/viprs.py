@@ -587,6 +587,10 @@ class VIPRS(BayesPRSModel):
                 chunk_iters = 1
             elif not disable_pbar or progress_callback is not None:
                 chunk_iters = 25
+            elif self._S >= 8:
+                # bounded chunks give the driver compaction points (converged
+                # lanes are dropped from subsequent chunks — see below):
+                chunk_iters = 50
             else:
                 chunk_iters = max_iter
         chunk_iters = max(1, min(chunk_iters, max_iter))
@@ -612,34 +616,124 @@ class VIPRS(BayesPRSModel):
         it_done = 0
         pbar = self._make_pbar(max_iter) if not disable_pbar else None
 
+        # Merged per-lane results across chunks (compacted sub-runs report
+        # only their own lanes):
+        statuses = np.full(S, opt.MAX_ITER, dtype=np.int32)
+        nit_acc = np.zeros(S, dtype=np.int32)
+        med_acc = np.zeros(S, dtype=np.float64)
+        S_run = S   # width of the lane set currently being optimized
+
         while it_done < max_iter:
             this_chunk = min(chunk_iters, max_iter - it_done)
+            active_np = np.asarray(active)
+            n_act = int(active_np.sum())
+
+            # Lane compaction: once most grid lanes have terminated, re-run
+            # only the survivors at the next power-of-2 width — the sweep,
+            # reductions and state traffic all scale with the lane count, and
+            # the smaller widths hit the persistent compile cache after the
+            # first use. (Compact only on a >=4x shrink so at most ~log4(S)
+            # distinct widths ever compile.)
+            bucket = min(S, 1 << max(0, int(np.ceil(np.log2(max(n_act, 1))))))
+            if bucket > S_run:          # restarts can re-activate lanes
+                S_run = bucket
+            elif S >= 8 and bucket <= S_run // 4:
+                S_run = bucket
+            compact = S_run < S
+            if compact:
+                sel = np.nonzero(active_np)[0]
+                sel_pad = np.concatenate(
+                    [sel, np.full(S_run - n_act, sel[0])]).astype(np.int64)
+                sel_dev = jnp.asarray(sel_pad)
+
+                def sub(x):
+                    return jnp.take(jnp.asarray(x), sel_dev, axis=0)
+                state_in = CaviState(*(sub(x) for x in self._state))
+                hyper_in = Hyper(*(sub(x) for x in self._hyper_f32()))
+                fix_in = FixMask(*(sub(x) for x in self._fix_mask))
+                counters_in = em_loop.EMCounters(*(sub(x) for x in counters))
+                init_elbo_in = init_elbo[sel_pad]
+                active_in = jnp.asarray(np.arange(S_run) < n_act)
+                sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
+                run_pallas = (S_run >= 8 and on_tpu)
+                run_skip = (S_run == 1 and on_tpu)
+            else:
+                state_in, hyper_in = self._state, self._hyper_f32()
+                fix_in, counters_in = self._fix_mask, counters
+                init_elbo_in, active_in = init_elbo, active
+                sigma_g_in = np.atleast_1d(self._sigma_g)
+                run_pallas, run_skip = use_pallas, use_skip
+
             res = em_loop.em_fit(
-                self.dataset.ld, self._state, self._std_beta_flat, self._n_flat,
-                self._hyper_f32(), self._fix_mask,
+                self.dataset.ld, state_in, self._std_beta_flat, self._n_flat,
+                hyper_in, fix_in,
                 n_sample=float(self.n), m_total=float(self.m),
-                init_elbo=jnp.asarray(init_elbo, F64),
-                active0=active,
+                init_elbo=jnp.asarray(init_elbo_in, F64),
+                active0=active_in,
                 max_iter=this_chunk, min_iter=min_iter,
                 f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
                 patience=patience, tile=self.tile,
-                use_pallas=use_pallas, use_skip=use_skip,
-                i0=it_done, counters0=counters,
-                sigma_g0=jnp.asarray(np.atleast_1d(self._sigma_g), F64))
+                use_pallas=run_pallas, use_skip=run_skip,
+                i0=it_done, counters0=counters_in,
+                sigma_g0=jnp.asarray(sigma_g_in, F64))
 
-            self._adopt_result(res)
-            counters = res.counters
-            statuses = np.asarray(res.status)
-            n_in_chunk = int(np.asarray(res.n_iter_total))
-            it_done += n_in_chunk
-            init_elbo = np.asarray(res.final_elbo, dtype=np.float64)
+            if compact:
+                sel_j = jnp.asarray(sel)
 
-            hist = np.asarray(res.elbo_hist)[1:n_in_chunk + 1]
-            self.history['ELBO'].extend(
-                [row[0] for row in hist] if S == 1 else list(hist))
+                def scat(full, part):
+                    return jnp.asarray(full).at[sel_j].set(part[:n_act])
+                self._state = CaviState(
+                    *(scat(f, p) for f, p in zip(self._state, res.state)))
+                hyper_np = {f: np.atleast_1d(np.asarray(
+                    getattr(self._hyper, f), dtype=np.float64)).copy()
+                    for f in self._hyper._fields}
+                for i, f in enumerate(self._hyper._fields):
+                    hyper_np[f][sel] = np.asarray(res.hyper[i],
+                                                  dtype=np.float64)[:n_act]
+                self._hyper = Hyper(**hyper_np)
+                sg = np.atleast_1d(np.asarray(self._sigma_g,
+                                              dtype=np.float64)).copy()
+                sg[sel] = np.asarray(res.sigma_g, dtype=np.float64)[:n_act]
+                self._sigma_g = sg
+                counters = em_loop.EMCounters(
+                    *(scat(f, p) for f, p in zip(counters, res.counters)))
+                statuses = statuses.copy()
+                statuses[sel] = np.asarray(res.status)[:n_act]
+                nit_acc[sel] = np.asarray(res.nit)[:n_act]
+                med_acc[sel] = np.asarray(res.max_eta_diff)[:n_act]
+                n_in_chunk = int(np.asarray(res.n_iter_total))
+                it_done += n_in_chunk
+                fe = init_elbo.copy()
+                fe[sel] = np.asarray(res.final_elbo, dtype=np.float64)[:n_act]
+                sub_hist = np.asarray(res.elbo_hist)[1:n_in_chunk + 1]
+                for row in sub_hist:
+                    full_row = init_elbo.copy()
+                    full_row[sel] = row[:n_act]
+                    self.history['ELBO'].append(full_row)
+                init_elbo = fe
+            else:
+                self._adopt_result(res)
+                counters = res.counters
+                # merge only lanes that entered this chunk active — finished
+                # lanes report nit=0 / RUNNING in later chunks:
+                statuses = statuses.copy()
+                statuses[active_np] = np.asarray(res.status)[active_np]
+                nit_acc[active_np] = np.asarray(res.nit)[active_np]
+                med_acc[active_np] = np.asarray(res.max_eta_diff)[active_np]
+                n_in_chunk = int(np.asarray(res.n_iter_total))
+                it_done += n_in_chunk
+                init_elbo = np.asarray(res.final_elbo, dtype=np.float64)
+
+                hist = np.asarray(res.elbo_hist)[1:n_in_chunk + 1]
+                self.history['ELBO'].extend(
+                    [row[0] for row in hist] if S == 1 else list(hist))
+            self._merged_result = em_loop.EMResult(
+                state=None, hyper=None, sigma_g=None,
+                status=statuses, nit=nit_acc, elbo_hist=None,
+                n_iter_total=it_done, final_elbo=init_elbo,
+                final_mse=None, counters=None, max_eta_diff=med_acc)
             if self.tracked_params:
-                self._track_iteration(max_eta_diff=float(
-                    np.max(np.asarray(res.max_eta_diff))))
+                self._track_iteration(max_eta_diff=float(np.max(med_acc)))
 
             if pbar is not None:
                 pbar.update(n_in_chunk)
@@ -683,7 +777,8 @@ class VIPRS(BayesPRSModel):
             # — S full posteriors cost GBs of device->host traffic. Clear any
             # previously materialized host copies so they can't go stale:
             self.pip = self.post_mean_beta = self.post_var_beta = None
-        self._populate_optim_result(res)
+        self._last_result = self._merged_result
+        self._populate_optim_result(self._merged_result)
 
         if not self.optim_result.success:
             logger.warning("\t%s", self.optim_result.message)

@@ -314,8 +314,10 @@ def cavi_sweep_pallas_s1(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
     return state_new._replace(q=q), eta_diff
 
 
-def _skip_kernel(idx_ref, n_ref, hyper_ref, diag_hbm, consts_hbm, stack_in,
-                 stack_out, cbuf, sbuf, dbuf, sem_c, sem_s, sem_d, sem_o,
+def _skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
+                 hyper_ref, diag_hbm, off_hbm, consts_hbm, stack_in,
+                 stack_out, cbuf, sbuf, dbuf, obuf,
+                 sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
                  *, G, B, tile, n_tiles, scale, relax, inner_steps,
                  w_once=True):
     """Active-block-compacted single-model sweep (the TPU analog of the
@@ -325,20 +327,29 @@ def _skip_kernel(idx_ref, n_ref, hyper_ref, diag_hbm, consts_hbm, stack_in,
     The caller passes the compacted list of active block indices (``idx_ref``,
     SMEM) and their count (``n_ref``); the kernel gathers chunks of G active
     blocks with manual double-buffered DMAs — (B, B) LD tile + one contiguous
-    (4, B) state row + one (3, B) consts row per block — computes the same
-    tile-Gauss-Seidel update as ``_sweep_kernel_s1``, and scatters the updated
-    state back in place. ``stack_out`` is aliased to ``stack_in`` so the
-    untouched (quiescent) blocks persist without any copy or HBM traffic.
+    (8, B) state row + one (4, B) consts row per block — computes the same
+    tile-Gauss-Seidel update as ``_sweep_kernel_s1``, writes the block's total
+    eta change into the stack's diff plane, and scatters the updated state
+    back in place. ``stack_out`` is aliased to ``stack_in`` so the untouched
+    (quiescent) blocks persist without any copy or HBM traffic.
+
+    A second pass applies the cross-block coupling tiles (the in-kernel
+    replacement of cavi_jax.refresh_q, whose XLA einsum streams and
+    dequantizes EVERY off tile each sweep): only the compacted active tiles
+    (``oidx_ref`` — those whose src or dst block moved) are DMA'd; per tile,
+    q[src] += scale * U @ diff[dst] and q[dst] += scale * U^T @ diff[src] as
+    (1, B) x (B, B) MXU matvecs, read-modify-writing the two stack rows.
 
     Why gridless + fori_loop: this toolchain's Mosaic cannot legalize manual
     DMA inside a ``grid=`` pallas_call (nor scalar-prefetch index maps); a
     single-invocation kernel with an internal loop compiles and runs.
 
-    idx_ref: (NB,) i32 SMEM; n_ref: (1,) i32 SMEM; hyper_ref: (8,) f32 SMEM
-    rows [sigma_eps, tau_beta, pi, active, lambda_min];
-    diag_hbm: (NB, B, B) storage dtype, ANY; consts_hbm: (NB, 3, B) f32 ANY
-    rows [std_beta, n_per_snp, mask]; stack_in/out: (NB, 4, B) f32 ANY rows
-    [logits, mu, eta, q].
+    idx/oidx/osrc/odst: i32 SMEM; n_ref/no_ref: (1,) i32 SMEM; hyper_ref:
+    (8,) f32 SMEM rows [sigma_eps, tau_beta, pi, active, lambda_min];
+    diag_hbm: (NB, B, B) storage dtype ANY; off_hbm: (max(n_off,1), B, B)
+    storage dtype ANY; consts_hbm: (NB, 4, B) f32 ANY rows
+    [std_beta, n_per_snp, mask, 0]; stack_in/out: (NB, 8, B) f32 ANY rows
+    [logits, mu, eta, q, eta_diff, 0, 0, 0].
     """
     I32 = jnp.int32
     n = n_ref[0]
@@ -389,11 +400,12 @@ def _skip_kernel(idx_ref, n_ref, hyper_ref, diag_hbm, consts_hbm, stack_in,
                 pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot, I32(g)],
                                       sem_s.at[slot, I32(g)]).wait()
 
-        cb = cbuf.at[slot]                          # (G, 3, B)
-        sb = sbuf.at[slot]                          # (G, 4, B) — updated in place
+        cb = cbuf.at[slot]                          # (G, 4, B)
+        sb = sbuf.at[slot]                          # (G, 8, B) — updated in place
         # Lanes of slots past the end of the compacted list hold stale data;
         # mask them so their (garbage) updates are zeroed and never written.
         valid = (jax.lax.broadcasted_iota(I32, (G, 1), 0) < cnt).astype(F32)
+        eta0_c = sb[:, 2, :]                        # (G, B) pre-sweep eta
 
         for t in range(n_tiles):
             sl = pl.ds(t * tile, tile)
@@ -452,6 +464,8 @@ def _skip_kernel(idx_ref, n_ref, hyper_ref, diag_hbm, consts_hbm, stack_in,
             sb[:, 3, :] = sb[:, 3, :] + q_upd
             sb[:, 3, sl] = sb[:, 3, sl] - d_t
 
+        sb[:, 4, :] = sb[:, 2, :] - eta0_c          # the block's total eta diff
+
         for g in range(G):
             @pl.when(I32(g) < cnt)
             def _():
@@ -467,6 +481,61 @@ def _skip_kernel(idx_ref, n_ref, hyper_ref, diag_hbm, consts_hbm, stack_in,
         return 0
 
     lax.fori_loop(I32(0), nc, body, 0)
+
+    # ---- pass 2: cross-block coupling tiles (refresh_q, in kernel) ----
+    n_off_act = no_ref[0]
+    # rbuf rows: [0] src stack row, [1] dst stack row — (2, 8, B) slices of
+    # sbuf slot 0 reused as scratch (pass 1 is complete; contents are dead).
+    rbuf = sbuf
+
+    def start_u(k, slot):
+        pltpu.make_async_copy(off_hbm.at[oidx_ref[k]], obuf.at[slot],
+                              sem_u.at[slot]).start()
+
+    @pl.when(n_off_act > 0)
+    def _():
+        start_u(I32(0), I32(0))
+
+    def off_body(k, carry):
+        slot = lax.rem(k, I32(2))
+
+        @pl.when(k + I32(1) < n_off_act)
+        def _():
+            start_u(k + I32(1), lax.rem(k + I32(1), I32(2)))
+
+        o = oidx_ref[k]
+        bs = osrc_ref[o]
+        bd = odst_ref[o]
+        cps = pltpu.make_async_copy(stack_out.at[bs], rbuf.at[I32(0), I32(0)], sem_r.at[I32(0)])
+        cpd = pltpu.make_async_copy(stack_out.at[bd], rbuf.at[I32(0), I32(1)], sem_r.at[I32(1)])
+        cps.start()
+        cpd.start()
+        pltpu.make_async_copy(off_hbm.at[oidx_ref[k]], obuf.at[slot],
+                              sem_u.at[slot]).wait()
+        cps.wait()
+        cpd.wait()
+
+        U = obuf[slot].astype(F32)                  # (B, B)
+        v_s = rbuf[I32(0), I32(0), pl.ds(4, 1), :]            # (1, B) diff[src]
+        v_d = rbuf[I32(0), I32(1), pl.ds(4, 1), :]            # (1, B) diff[dst]
+        # q[src] += scale * U @ diff[dst]  (contract v_d lanes with U dim 1);
+        # q[dst] += scale * U^T @ diff[src] (contract v_s lanes with U dim 0).
+        upd_s = lax.dot_general(v_d, U, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32) * F32(scale)
+        upd_d = lax.dot_general(v_s, U, (((1,), (0,)), ((), ())),
+                                preferred_element_type=F32) * F32(scale)
+        rbuf[I32(0), I32(0), pl.ds(3, 1), :] = rbuf[I32(0), I32(0), pl.ds(3, 1), :] + upd_s
+        rbuf[I32(0), I32(1), pl.ds(3, 1), :] = rbuf[I32(0), I32(1), pl.ds(3, 1), :] + upd_d
+
+        ws = pltpu.make_async_copy(rbuf.at[I32(0), I32(0)], stack_out.at[bs], sem_w.at[I32(0)])
+        wd = pltpu.make_async_copy(rbuf.at[I32(0), I32(1)], stack_out.at[bd], sem_w.at[I32(1)])
+        ws.start()
+        wd.start()
+        ws.wait()
+        wd.wait()
+        return 0
+
+    lax.fori_loop(I32(0), n_off_act, off_body, 0)
 
 
 def block_proposal_mask(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
@@ -500,15 +569,16 @@ def block_proposal_mask(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
 @functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps',
                                              'chunk'))
 def cavi_sweep_pallas_s1_skip(ld: BlockLD, state: CaviState, std_beta,
-                              n_per_snp, hyper: Hyper, active, idx, n_active,
+                              n_per_snp, hyper: Hyper, active, blk_mask,
                               tile: int = 128, relax: bool = True,
                               inner_steps: int = 8, chunk: int = 8):
-    """Single-model sweep over the compacted active-block list only.
+    """Single-model sweep over the active blocks only.
 
-    Same contract as cavi_sweep_pallas_s1 plus ``idx`` ((NB,) i32, the active
-    block indices compacted to the front — e.g. from jnp.nonzero(mask,
-    size=NB)) and ``n_active`` (scalar/1-element i32). Quiescent blocks are
-    untouched (state passes through bit-exactly, no HBM traffic).
+    Same contract as cavi_sweep_pallas_s1 plus ``blk_mask`` ((NB,) bool, e.g.
+    from block_proposal_mask): only blocks flagged active are streamed and
+    updated; quiescent blocks pass through bit-exactly with no HBM traffic.
+    Cross-block coupling tiles are applied in-kernel for the tiles whose src
+    or dst block is active (so refresh_q is NOT needed afterwards).
     """
     B = ld.block_size
     NB = ld.nb
@@ -517,7 +587,24 @@ def cavi_sweep_pallas_s1_skip(ld: BlockLD, state: CaviState, std_beta,
     assert B % tile == 0
     n_tiles = B // tile
     state = CaviState(*(x.astype(F32) for x in state))
-    eta0 = state.eta
+
+    blk_mask = blk_mask.astype(bool)
+    idx = jnp.nonzero(blk_mask, size=NB, fill_value=0)[0].astype(jnp.int32)
+    n_active = jnp.sum(blk_mask).astype(jnp.int32).reshape(1)
+    if ld.n_off > 0:
+        off_act = blk_mask[ld.off_src] | blk_mask[ld.off_dst]
+        oidx = jnp.nonzero(off_act, size=ld.n_off,
+                           fill_value=0)[0].astype(jnp.int32)
+        n_off_act = jnp.sum(off_act).astype(jnp.int32).reshape(1)
+        off_hbm = ld.off_data
+        osrc = ld.off_src.astype(jnp.int32)
+        odst = ld.off_dst.astype(jnp.int32)
+    else:
+        oidx = jnp.zeros(1, jnp.int32)
+        n_off_act = jnp.zeros(1, jnp.int32)
+        off_hbm = jnp.zeros((1, B, B), ld.diag.dtype)
+        osrc = jnp.zeros(1, jnp.int32)
+        odst = jnp.zeros(1, jnp.int32)
 
     active = active.astype(F32)
     hyper_vec = jnp.stack([hyper.sigma_eps.astype(F32)[0],
@@ -532,48 +619,59 @@ def cavi_sweep_pallas_s1_skip(ld: BlockLD, state: CaviState, std_beta,
                         jnp.zeros_like(ld.mask, F32)], axis=1)     # (NB, 4, B)
     # (4 rows, not 3: the f32 VMEM sublane tiling is 4, and Mosaic requires
     # DMA slice shapes aligned to it.)
+    zero = jnp.zeros_like(state.eta[0])
     stack = jnp.stack([state.logits[0], state.mu[0],
-                       state.eta[0], state.q[0]], axis=1)          # (NB, 4, B)
+                       state.eta[0], state.q[0],
+                       zero, zero, zero, zero], axis=1)            # (NB, 8, B)
 
     kernel = functools.partial(_skip_kernel, G=G, B=B, tile=tile,
                                n_tiles=n_tiles, scale=ld.scale, relax=relax,
                                inner_steps=inner_steps)
 
-    dma_bytes = 2 * G * (B * B * ld.diag.dtype.itemsize + 7 * B * 4)
+    dma_bytes = 2 * G * (B * B * ld.diag.dtype.itemsize + 12 * B * 4) \
+        + 2 * B * B * ld.diag.dtype.itemsize
     vmem_limit = min(110 * 1024 * 1024, dma_bytes + 48 * 1024 * 1024)
     new_stack = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # idx
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_active
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # oidx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_off_act
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_src
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_dst
             pl.BlockSpec(memory_space=pltpu.SMEM),      # hyper
             pl.BlockSpec(memory_space=pl.ANY),          # diag
+            pl.BlockSpec(memory_space=pl.ANY),          # off tiles
             pl.BlockSpec(memory_space=pl.ANY),          # consts (NB, 4, B)
-            pl.BlockSpec(memory_space=pl.ANY),          # stack
+            pl.BlockSpec(memory_space=pl.ANY),          # stack (NB, 8, B)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((NB, 4, B), F32),
-        input_output_aliases={5: 0},
+        out_shape=jax.ShapeDtypeStruct((NB, 8, B), F32),
+        input_output_aliases={10: 0},
         scratch_shapes=[
             pltpu.VMEM((2, G, 4, B), F32),              # cbuf
-            pltpu.VMEM((2, G, 4, B), F32),              # sbuf
+            pltpu.VMEM((2, G, 8, B), F32),              # sbuf
             pltpu.VMEM((2, G, B, B), ld.diag.dtype),    # dbuf
+            pltpu.VMEM((2, B, B), ld.diag.dtype),       # obuf
             pltpu.SemaphoreType.DMA((2, G)),            # sem_c
             pltpu.SemaphoreType.DMA((2, G)),            # sem_s
             pltpu.SemaphoreType.DMA((2, G)),            # sem_d
             pltpu.SemaphoreType.DMA((2, G)),            # sem_o
+            pltpu.SemaphoreType.DMA((2,)),              # sem_u
+            pltpu.SemaphoreType.DMA((2,)),              # sem_r
+            pltpu.SemaphoreType.DMA((2,)),              # sem_w
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-    )(jnp.asarray(idx, jnp.int32), jnp.asarray(n_active, jnp.int32).reshape(1),
-      hyper_vec, ld.diag, consts, stack)
+    )(idx, n_active, oidx, n_off_act, osrc, odst,
+      hyper_vec, ld.diag, off_hbm, consts, stack)
 
     state_new = CaviState(logits=new_stack[:, 0][None],
                           mu=new_stack[:, 1][None],
                           eta=new_stack[:, 2][None],
                           q=new_stack[:, 3][None])
-    eta_diff = state_new.eta - eta0
-    q = refresh_q(ld, state_new.q, eta_diff)
-    return state_new._replace(q=q), eta_diff
+    eta_diff = new_stack[:, 4][None]
+    return state_new, eta_diff
 
 
 def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,

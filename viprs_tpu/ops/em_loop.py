@@ -185,10 +185,8 @@ def em_fit(ld: BlockLD,
             blk = block_proposal_mask(ld, c.state, std_beta, n_per_snp,
                                       h32)[0]                      # (NB,)
             blk = blk & (act_f[0] > 0.0)
-            idx = jnp.nonzero(blk, size=ld.nb, fill_value=0)[0].astype(I32)
-            n_act = jnp.sum(blk).astype(I32)
             state, eta_diff = cavi_sweep_pallas_s1_skip(
-                ld, c.state, std_beta, n_per_snp, h32, act_f, idx, n_act,
+                ld, c.state, std_beta, n_per_snp, h32, act_f, blk,
                 tile=tile, inner_steps=inner_steps)
         elif use_pallas:
             from .cavi_pallas import cavi_sweep_pallas
