@@ -125,38 +125,44 @@ def main():
         fn = impls[impl]
         act = jnp.ones(S)
 
-        n_rep = 20
+        n_rep = 100
 
         # Time a fused chain of sweeps (one dispatch) — how the EM while_loop
-        # actually runs them; per-dispatch tunnel latency (~2 ms on axon) would
-        # otherwise swamp the kernel at small M.
+        # actually runs them. A chain call costs ~27 ms of FIXED
+        # dispatch+transfer latency on the axon tunnel regardless of length
+        # (measured with an empty body), so the rep count is a dynamic
+        # argument (one compile) and the fixed cost is subtracted.
         from functools import partial as _partial
+
+        DISPATCH_S = 0.027
 
         # NB: ld/sb/nf/hyper/act must be ARGUMENTS — closing over them embeds
         # the GB-scale LD tiles as HLO constants (and blows the remote-compile
         # request limit on the axon transport).
         @_partial(jax.jit, static_argnames=('impl_', 'tile_', 'inner_'))
-        def chain(state, ld_, sb_, nf_, hyper_, act_, impl_, tile_, inner_):
+        def chain(state, ld_, sb_, nf_, hyper_, act_, n_, impl_, tile_, inner_):
             def body(_, st):
                 return impls[impl_](ld_, st, sb_, nf_, hyper_, act_,
                                     tile=tile_, inner_steps=inner_)[0]
-            return jax.lax.fori_loop(0, n_rep, body, state)
+            return jax.lax.fori_loop(0, n_, body, state)
 
-        def chain_call(st):
-            return chain(st, ld, sb, nf, hyper, act,
+        def chain_call(st, n_):
+            return chain(st, ld, sb, nf, hyper, act, jnp.asarray(n_),
                          impl_=impl, tile_=tile, inner_=inner)
 
         try:
-            warm = chain_call(state)
+            warm = chain_call(state, 3)
             # axon runtime: block_until_ready does not actually block; force a
-            # scalar device->host read to drain the pipeline before timing.
-            # The timed call takes the warmup OUTPUT as input so the runtime's
-            # execution memoization cannot return a cached result.
-            float(np.asarray(warm.eta)[0, 0, 0])
+            # device->host read of a device-side slice to drain the pipeline
+            # (fetching the full eta would add MBs of tunnel traffic to the
+            # timed region). The timed call takes the warmup OUTPUT as input
+            # so the runtime's execution memoization cannot return a cached
+            # result.
+            float(np.asarray(warm.eta[:1, :1, :1]).ravel()[0])
             t0 = time.time()
-            out = chain_call(warm)
-            float(np.asarray(out.eta)[0, 0, 0])
-            dt = (time.time() - t0) / n_rep
+            out = chain_call(warm, n_rep)
+            float(np.asarray(out.eta[:1, :1, :1]).ravel()[0])
+            dt = max(time.time() - t0 - DISPATCH_S, 1e-9) / n_rep
         except Exception as e:
             print(f"{impl} S={S} quant={quantize} tile={tile} inner={inner}: "
                   f"FAILED ({type(e).__name__}: {e})", file=sys.stderr)

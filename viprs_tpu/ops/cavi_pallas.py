@@ -589,12 +589,14 @@ def cavi_sweep_pallas_s1_skip(ld: BlockLD, state: CaviState, std_beta,
     state = CaviState(*(x.astype(F32) for x in state))
 
     blk_mask = blk_mask.astype(bool)
-    idx = jnp.nonzero(blk_mask, size=NB, fill_value=0)[0].astype(jnp.int32)
+    # Compaction via stable argsort (active indices first, ascending) — XLA's
+    # nonzero lowers to a cumsum/reduce-window that blows the 16 MB scoped
+    # VMEM limit at genome scale on this toolchain.
+    idx = jnp.argsort(~blk_mask, stable=True).astype(jnp.int32)
     n_active = jnp.sum(blk_mask).astype(jnp.int32).reshape(1)
     if ld.n_off > 0:
         off_act = blk_mask[ld.off_src] | blk_mask[ld.off_dst]
-        oidx = jnp.nonzero(off_act, size=ld.n_off,
-                           fill_value=0)[0].astype(jnp.int32)
+        oidx = jnp.argsort(~off_act, stable=True).astype(jnp.int32)
         n_off_act = jnp.sum(off_act).astype(jnp.int32).reshape(1)
         off_hbm = ld.off_data
         osrc = ld.off_src.astype(jnp.int32)
