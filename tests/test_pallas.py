@@ -242,3 +242,82 @@ def test_proposal_mask_detects_quiescence(problem):
     hyper2 = hyper._replace(pi=hyper.pi * 0.01)
     pm2 = block_proposal_mask(ld, st, sb, nf, hyper2)
     assert int(pm2.sum()) > int(pm.sum())
+
+
+def test_mixture_skip_kernel_matches_xla_interpret(problem, monkeypatch):
+    """The mixture skipping kernel: all-active == full mixture sweep; frozen
+    blocks bit-identical; quiescent-state skip reproduces the trajectory."""
+    from viprs_tpu.ops import cavi_pallas
+    from viprs_tpu.ops.cavi_mix import (MixState, MixHyper, cavi_sweep_mixture,
+                                        compute_q_mix)
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    K = 3
+    nb, B = lay.nb, 128
+    pis = np.array([0.01, 0.03, 0.05], dtype=np.float32)
+    gamma = jnp.asarray(np.tile(pis[:, None, None], (1, nb, B)), jnp.float32)
+    rng = np.random.default_rng(2)
+    mu = jnp.asarray(rng.standard_normal((K, nb, B)) * 0.01, jnp.float32)
+    eta = jnp.sum(gamma * mu, axis=0)
+    state = MixState(gamma=gamma, mu=mu, eta=eta,
+                     q=compute_q_mix(ld, eta))
+    hyper = MixHyper(sigma_eps=jnp.asarray(0.7, jnp.float32),
+                     tau_beta=jnp.asarray([3000.0, 1000.0, 400.0], jnp.float32),
+                     pi=jnp.asarray(pis),
+                     lambda_min=jnp.asarray(0.0, jnp.float32))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+
+    out_x, diff_x = cavi_sweep_mixture(ld, state, sb, nf, hyper, tile=64)
+
+    # all active == full sweep:
+    out_all, diff_all = cavi_pallas.cavi_sweep_mixture_pallas_skip.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.ones(nb, bool), tile=64, chunk=2)
+    np.testing.assert_allclose(np.asarray(out_all.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_all.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_all.gamma),
+                               np.asarray(out_x.gamma), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(diff_all), np.asarray(diff_x),
+                               atol=1e-5)
+
+    # subset active: frozen blocks bit-identical on gamma/mu/eta:
+    act = np.zeros(nb, bool)
+    act[::2] = True
+    out_sub, _ = cavi_pallas.cavi_sweep_mixture_pallas_skip.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.asarray(act), tile=64, chunk=2)
+    np.testing.assert_array_equal(np.asarray(out_sub.eta)[~act],
+                                  np.asarray(state.eta)[~act])
+    np.testing.assert_array_equal(np.asarray(out_sub.gamma)[:, ~act],
+                                  np.asarray(state.gamma)[:, ~act])
+    np.testing.assert_allclose(np.asarray(out_sub.eta)[act],
+                               np.asarray(out_x.eta)[act], atol=1e-4)
+
+    # none active: bit-exact passthrough:
+    out_none, _ = cavi_pallas.cavi_sweep_mixture_pallas_skip.__wrapped__(
+        ld, state, sb, nf, hyper, jnp.zeros(nb, bool), tile=64, chunk=2)
+    for name in ('gamma', 'mu', 'eta', 'q'):
+        np.testing.assert_array_equal(np.asarray(getattr(out_none, name)),
+                                      np.asarray(getattr(state, name)))
+
+    # proposal mask from a quiesced state reproduces the full sweep:
+    st = state
+    for _ in range(40):
+        st, _ = cavi_sweep_mixture(ld, st, sb, nf, hyper, tile=64)
+    pm = cavi_pallas.mix_block_proposal_mask(ld, st, sb, nf, hyper)
+    assert pm.shape == (nb,)
+    out_skip, _ = cavi_pallas.cavi_sweep_mixture_pallas_skip.__wrapped__(
+        ld, st, sb, nf, hyper, pm, tile=64, chunk=2)
+    ref_full, _ = cavi_sweep_mixture(ld, st, sb, nf, hyper, tile=64)
+    np.testing.assert_allclose(np.asarray(out_skip.eta),
+                               np.asarray(ref_full.eta), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_skip.q),
+                               np.asarray(ref_full.q), atol=1e-4)

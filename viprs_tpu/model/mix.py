@@ -390,7 +390,9 @@ class VIPRSMix(BayesPRSModel):
         import jax
         # The Pallas mixture sweep (VMEM-resident per-block K-state) wins on
         # real TPU hardware; the XLA path wins on CPU meshes:
-        use_pallas = jax.default_backend() in ('tpu', 'axon')
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        use_pallas = on_tpu
+        use_skip = on_tpu
 
         restarts = 0
         while True:
@@ -402,7 +404,7 @@ class VIPRSMix(BayesPRSModel):
                 n_sample=float(self.n), m_total=float(self.m),
                 init_elbo=init_elbo, max_iter=max_iter, min_iter=min_iter,
                 f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
-                tile=self.tile, use_pallas=use_pallas)
+                tile=self.tile, use_pallas=use_pallas, use_skip=use_skip)
 
             self._state = res.state
             self._hyper = MixHyper(

@@ -483,10 +483,24 @@ def _skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
     lax.fori_loop(I32(0), nc, body, 0)
 
     # ---- pass 2: cross-block coupling tiles (refresh_q, in kernel) ----
+    # sbuf slot 0 is reused as the row scratch (pass 1 is complete).
+    _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
+              obuf, sbuf, sem_u, sem_r, sem_w, q_row=3, diff_row=4,
+              scale=scale)
+
+
+def _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
+              obuf, rbuf, sem_u, sem_r, sem_w, *, q_row, diff_row, scale):
+    """Apply the compacted active coupling tiles to the q plane of the stack:
+    q[src] += scale * U @ diff[dst]; q[dst] += scale * U^T @ diff[src]
+    (the in-kernel replacement of cavi_jax.refresh_q). Sequential RMW over the
+    tile list; each iteration gathers the two (rows, B) stack rows, applies
+    both (1, B) x (B, B) MXU matvecs, and writes the rows back before the
+    next tile (so tiles sharing a block chain correctly). U tiles are
+    double-buffered. rbuf: any VMEM scratch with [0, 0] and [0, 1] slots of
+    the stack-row shape."""
+    I32 = jnp.int32
     n_off_act = no_ref[0]
-    # rbuf rows: [0] src stack row, [1] dst stack row — (2, 8, B) slices of
-    # sbuf slot 0 reused as scratch (pass 1 is complete; contents are dead).
-    rbuf = sbuf
 
     def start_u(k, slot):
         pltpu.make_async_copy(off_hbm.at[oidx_ref[k]], obuf.at[slot],
@@ -506,8 +520,10 @@ def _skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
         o = oidx_ref[k]
         bs = osrc_ref[o]
         bd = odst_ref[o]
-        cps = pltpu.make_async_copy(stack_out.at[bs], rbuf.at[I32(0), I32(0)], sem_r.at[I32(0)])
-        cpd = pltpu.make_async_copy(stack_out.at[bd], rbuf.at[I32(0), I32(1)], sem_r.at[I32(1)])
+        cps = pltpu.make_async_copy(stack_out.at[bs],
+                                    rbuf.at[I32(0), I32(0)], sem_r.at[I32(0)])
+        cpd = pltpu.make_async_copy(stack_out.at[bd],
+                                    rbuf.at[I32(0), I32(1)], sem_r.at[I32(1)])
         cps.start()
         cpd.start()
         pltpu.make_async_copy(off_hbm.at[oidx_ref[k]], obuf.at[slot],
@@ -515,20 +531,22 @@ def _skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
         cps.wait()
         cpd.wait()
 
-        U = obuf[slot].astype(F32)                  # (B, B)
-        v_s = rbuf[I32(0), I32(0), pl.ds(4, 1), :]            # (1, B) diff[src]
-        v_d = rbuf[I32(0), I32(1), pl.ds(4, 1), :]            # (1, B) diff[dst]
-        # q[src] += scale * U @ diff[dst]  (contract v_d lanes with U dim 1);
-        # q[dst] += scale * U^T @ diff[src] (contract v_s lanes with U dim 0).
+        U = obuf[slot].astype(F32)                            # (B, B)
+        v_s = rbuf[I32(0), I32(0), pl.ds(diff_row, 1), :]     # (1, B)
+        v_d = rbuf[I32(0), I32(1), pl.ds(diff_row, 1), :]
+        # (contract v_d lanes with U dim 1 / v_s lanes with U dim 0):
         upd_s = lax.dot_general(v_d, U, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32) * F32(scale)
         upd_d = lax.dot_general(v_s, U, (((1,), (0,)), ((), ())),
                                 preferred_element_type=F32) * F32(scale)
-        rbuf[I32(0), I32(0), pl.ds(3, 1), :] = rbuf[I32(0), I32(0), pl.ds(3, 1), :] + upd_s
-        rbuf[I32(0), I32(1), pl.ds(3, 1), :] = rbuf[I32(0), I32(1), pl.ds(3, 1), :] + upd_d
+        qs = pl.ds(q_row, 1)
+        rbuf[I32(0), I32(0), qs, :] = rbuf[I32(0), I32(0), qs, :] + upd_s
+        rbuf[I32(0), I32(1), qs, :] = rbuf[I32(0), I32(1), qs, :] + upd_d
 
-        ws = pltpu.make_async_copy(rbuf.at[I32(0), I32(0)], stack_out.at[bs], sem_w.at[I32(0)])
-        wd = pltpu.make_async_copy(rbuf.at[I32(0), I32(1)], stack_out.at[bd], sem_w.at[I32(1)])
+        ws = pltpu.make_async_copy(rbuf.at[I32(0), I32(0)], stack_out.at[bs],
+                                   sem_w.at[I32(0)])
+        wd = pltpu.make_async_copy(rbuf.at[I32(0), I32(1)], stack_out.at[bd],
+                                   sem_w.at[I32(1)])
         ws.start()
         wd.start()
         ws.wait()
@@ -823,6 +841,288 @@ def cavi_sweep_mixture_pallas(ld: BlockLD, state, std_beta, n_per_snp,
         from .cavi_jax import _off_contrib
         q = q + _off_contrib(ld, eta_diff[None])[0]
     return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
+
+
+def _mix_skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
+                     hyper_ref, diag_hbm, off_hbm, consts_hbm, stack_in,
+                     stack_out, cbuf, sbuf, dbuf, obuf,
+                     sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
+                     *, K, R, G, B, tile, n_tiles, scale, inner_steps,
+                     w_once=True):
+    """Mixture-prior analog of ``_skip_kernel``: active-block-compacted sweep
+    with K slab components per variant (e_step_mixture, e_step.hpp:447-551).
+
+    stack rows: [gamma_0..gamma_{K-1}, mu_0..mu_{K-1}, eta, q, diff, pad...]
+    (R rows total, a multiple of 4); consts rows: [std_beta, n, mask, 0];
+    hyper_ref: (8, K) f32 SMEM rows [sigma_eps*, tau_beta_k, pi_k, lambda*,
+    log_null_pi*] (* = broadcast along K).
+    """
+    I32 = jnp.int32
+    n = n_ref[0]
+    nc = lax.div(n + I32(G - 1), I32(G))
+    sig_e = hyper_ref[0, 0]
+    lam = hyper_ref[3, 0]
+    log_null_pi = hyper_ref[4, 0]
+    # (K, 1) column vectors assembled from SMEM scalars (K is small/static):
+    tau_b = jnp.stack([hyper_ref[1, k] for k in range(K)])[:, None]
+    pi_ = jnp.stack([hyper_ref[2, k] for k in range(K)])[:, None]
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    E_ETA, E_Q, E_DF = 2 * K, 2 * K + 1, 2 * K + 2
+
+    def start_chunk(c, slot):
+        base = c * I32(G)
+        cnt = n - base
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot, I32(g)],
+                                      sem_d.at[slot, I32(g)]).start()
+                pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot, I32(g)],
+                                      sem_c.at[slot, I32(g)]).start()
+                pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot, I32(g)],
+                                      sem_s.at[slot, I32(g)]).start()
+
+    @pl.when(n > 0)
+    def _():
+        start_chunk(I32(0), I32(0))
+
+    def body(c, carry):
+        slot = lax.rem(c, I32(2))
+
+        @pl.when(c + I32(1) < nc)
+        def _():
+            start_chunk(c + I32(1), lax.rem(c + I32(1), I32(2)))
+
+        base = c * I32(G)
+        cnt = n - base
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot, I32(g)],
+                                      sem_d.at[slot, I32(g)]).wait()
+                pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot, I32(g)],
+                                      sem_c.at[slot, I32(g)]).wait()
+                pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot, I32(g)],
+                                      sem_s.at[slot, I32(g)]).wait()
+
+        cb = cbuf.at[slot]                          # (G, 4, B)
+        sb = sbuf.at[slot]                          # (G, R, B) — in place
+        valid = (jax.lax.broadcasted_iota(I32, (G, 1), 0) < cnt).astype(F32)
+        eta0_c = sb[:, E_ETA, :]                    # (G, B)
+
+        for t in range(n_tiles):
+            sl = pl.ds(t * tile, tile)
+            q_t = sb[:, E_Q, sl]                    # (G, T)
+            eta_t = sb[:, E_ETA, sl]
+            # per-component reads (an unaligned K-row slice of the sublane
+            # dim is illegal in Mosaic; integer indexing is fine):
+            g_t = jnp.stack([sb[:, k, sl] for k in range(K)], axis=1)
+            mu_t = jnp.stack([sb[:, K + k, sl] for k in range(K)], axis=1)
+            nn_t = cb[:, 1, sl]
+            bb_t = cb[:, 0, sl]
+            mm_t = cb[:, 2, sl] * valid             # (G, T)
+
+            var_tau_t = nn_t[:, None, :] * (1.0 + lam) / sig_e \
+                + tau_b[None]                       # (G, K, T)
+            mu_mult_t = nn_t[:, None, :] / (var_tau_t * sig_e)
+            mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=1)   # (G, T)
+
+            R_tt = dbuf[slot, :, sl, sl].astype(F32) * F32(scale)  # (G,T,T)
+            R_abs = jnp.abs(R_tt)
+            R_abs_diag = mm_t
+
+            g_cur = g_t
+            mu_cur = mu_t
+            eta_cur = eta_t
+            q_cur = q_t
+            w = None
+            for step in range(inner_steps):
+                mu_star = mu_mult_t * (bb_t[:, None, :] - q_cur[:, None, :])
+                u = base_logit[None] - 0.5 * jnp.log(var_tau_t) \
+                    + 0.5 * var_tau_t * mu_star * mu_star       # (G, K, T)
+                u_max = jnp.maximum(jnp.max(u, axis=1), log_null_pi)  # (G,T)
+                exp_u = jnp.exp(u - u_max[:, None, :])
+                denom = exp_u.sum(axis=1) + jnp.exp(log_null_pi - u_max)
+                g_star = exp_u / denom[:, None, :]
+
+                if not (w_once and step > 0):
+                    pip_star = jnp.sum(g_star, axis=1)          # (G, T)
+                    cpl = pip_star * mu_mult_max
+                    coupling = jnp.sum(cpl[:, :, None] * R_abs, axis=1)
+                    coupling = coupling - R_abs_diag * cpl
+                    w = 1.0 / (1.0 + coupling)                  # (G, T)
+
+                g_cur = g_cur + w[:, None, :] * (g_star - g_cur)
+                mu_cur = mu_cur + w[:, None, :] * (mu_star - mu_cur)
+                eta_new = jnp.sum(g_cur * mu_cur, axis=1)       # (G, T)
+                d_in = (eta_new - eta_cur) * mm_t
+                q_cur = q_cur + jnp.sum(d_in[:, :, None] * R_tt, axis=1) - d_in
+                eta_cur = eta_cur + d_in
+
+            d_t = (eta_cur - eta_t) * mm_t
+
+            for k in range(K):
+                sb[:, k, sl] = g_cur[:, k, :]
+                sb[:, K + k, sl] = mu_cur[:, k, :]
+            sb[:, E_ETA, sl] = eta_t + d_t
+
+            R_rows = dbuf[slot, :, sl, :].astype(F32)           # (G, T, B)
+            q_upd = jnp.sum(d_t[:, :, None] * R_rows, axis=1) * F32(scale)
+            sb[:, E_Q, :] = sb[:, E_Q, :] + q_upd
+            sb[:, E_Q, sl] = sb[:, E_Q, sl] - d_t
+
+        sb[:, E_DF, :] = sb[:, E_ETA, :] - eta0_c
+
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(sbuf.at[slot, I32(g)], stack_out.at[b],
+                                      sem_o.at[slot, I32(g)]).start()
+        for g in range(G):
+            @pl.when(I32(g) < cnt)
+            def _():
+                b = idx_ref[base + I32(g)]
+                pltpu.make_async_copy(sbuf.at[slot, I32(g)], stack_out.at[b],
+                                      sem_o.at[slot, I32(g)]).wait()
+        return 0
+
+    lax.fori_loop(I32(0), nc, body, 0)
+
+    _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
+              obuf, sbuf, sem_u, sem_r, sem_w, q_row=E_Q, diff_row=E_DF,
+              scale=scale)
+
+
+def mix_block_proposal_mask(ld: BlockLD, state, std_beta, n_per_snp,
+                            hyper, eps=ETA_DIFF_EPS):
+    """Mixture analog of block_proposal_mask: per-block activity from the
+    unrelaxed first-step K-component proposal (no LD traffic). Returns (NB,)
+    bool."""
+    sig_e = hyper.sigma_eps.astype(F32)
+    tau_b = hyper.tau_beta.astype(F32)[:, None, None]      # (K,1,1)
+    pi_ = hyper.pi.astype(F32)[:, None, None]
+    lam = hyper.lambda_min.astype(F32)
+    log_null_pi = jnp.log1p(-jnp.sum(hyper.pi.astype(F32)))
+    n = n_per_snp[None]                                    # (1, NB, B)
+    var_tau = n * (1.0 + lam) / sig_e + tau_b              # (K, NB, B)
+    mu_star = (n / (var_tau * sig_e)) * (std_beta[None] - state.q[None])
+    u = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b) \
+        - 0.5 * jnp.log(var_tau) + 0.5 * var_tau * mu_star * mu_star
+    u_max = jnp.maximum(jnp.max(u, axis=0), log_null_pi)   # (NB, B)
+    exp_u = jnp.exp(u - u_max[None])
+    denom = exp_u.sum(axis=0) + jnp.exp(log_null_pi - u_max)
+    eta_star = jnp.sum(exp_u / denom[None] * mu_star, axis=0)
+    prop = jnp.abs(eta_star - state.eta) * ld.mask
+    return jnp.max(prop, axis=1) >= eps
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'inner_steps', 'chunk'))
+def cavi_sweep_mixture_pallas_skip(ld: BlockLD, state, std_beta, n_per_snp,
+                                   hyper, blk_mask, tile: int = 128,
+                                   inner_steps: int = 8, chunk: int = 8):
+    """Active-block-compacted mixture sweep; same contract as
+    cavi_sweep_mixture plus ``blk_mask`` ((NB,) bool). Quiescent blocks pass
+    through bit-exactly; coupling tiles are applied in-kernel."""
+    from .cavi_mix import MixState
+
+    B = ld.block_size
+    NB = ld.nb
+    G = chunk
+    K = state.gamma.shape[0]
+    assert B % tile == 0
+    n_tiles = B // tile
+    R = 2 * K + 3
+    R += (-R) % 8    # pad rows to the (8, 128) f32 VMEM tiling Mosaic picks
+
+    blk_mask = blk_mask.astype(bool)
+    idx = jnp.argsort(~blk_mask, stable=True).astype(jnp.int32)
+    n_active = jnp.sum(blk_mask).astype(jnp.int32).reshape(1)
+    if ld.n_off > 0:
+        off_act = blk_mask[ld.off_src] | blk_mask[ld.off_dst]
+        oidx = jnp.argsort(~off_act, stable=True).astype(jnp.int32)
+        n_off_act = jnp.sum(off_act).astype(jnp.int32).reshape(1)
+        off_hbm = ld.off_data
+        osrc = ld.off_src.astype(jnp.int32)
+        odst = ld.off_dst.astype(jnp.int32)
+    else:
+        oidx = jnp.zeros(1, jnp.int32)
+        n_off_act = jnp.zeros(1, jnp.int32)
+        off_hbm = jnp.zeros((1, B, B), ld.diag.dtype)
+        osrc = jnp.zeros(1, jnp.int32)
+        odst = jnp.zeros(1, jnp.int32)
+
+    hyper_mat = jnp.stack([
+        jnp.broadcast_to(hyper.sigma_eps.astype(F32), (K,)),
+        hyper.tau_beta.astype(F32),
+        hyper.pi.astype(F32),
+        jnp.broadcast_to(hyper.lambda_min.astype(F32), (K,)),
+        jnp.broadcast_to(jnp.log1p(-jnp.sum(hyper.pi)).astype(F32), (K,)),
+        jnp.zeros(K, F32), jnp.zeros(K, F32), jnp.zeros(K, F32),
+    ])                                            # (8, K)
+
+    consts = jnp.stack([std_beta.astype(F32), n_per_snp.astype(F32),
+                        ld.mask.astype(F32),
+                        jnp.zeros_like(ld.mask, F32)], axis=1)   # (NB, 4, B)
+    zero = jnp.zeros_like(state.eta)
+    planes = ([state.gamma[k].astype(F32) for k in range(K)]
+              + [state.mu[k].astype(F32) for k in range(K)]
+              + [state.eta.astype(F32), state.q.astype(F32)]
+              + [zero] * (R - 2 * K - 2))
+    stack = jnp.stack(planes, axis=1)             # (NB, R, B)
+
+    kernel = functools.partial(_mix_skip_kernel, K=K, R=R, G=G, B=B,
+                               tile=tile, n_tiles=n_tiles, scale=ld.scale,
+                               inner_steps=inner_steps)
+
+    dma_bytes = 2 * G * (B * B * ld.diag.dtype.itemsize + (R + 4) * B * 4) \
+        + 2 * B * B * ld.diag.dtype.itemsize
+    vmem_limit = min(110 * 1024 * 1024, dma_bytes + 48 * 1024 * 1024)
+    new_stack = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_active
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # oidx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_off_act
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_src
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_dst
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # hyper (8, K)
+            pl.BlockSpec(memory_space=pl.ANY),          # diag
+            pl.BlockSpec(memory_space=pl.ANY),          # off tiles
+            pl.BlockSpec(memory_space=pl.ANY),          # consts
+            pl.BlockSpec(memory_space=pl.ANY),          # stack
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((NB, R, B), F32),
+        input_output_aliases={10: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, G, 4, B), F32),              # cbuf
+            pltpu.VMEM((2, G, R, B), F32),              # sbuf
+            pltpu.VMEM((2, G, B, B), ld.diag.dtype),    # dbuf
+            pltpu.VMEM((2, B, B), ld.diag.dtype),       # obuf
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_c
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_s
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_d
+            pltpu.SemaphoreType.DMA((2, G)),            # sem_o
+            pltpu.SemaphoreType.DMA((2,)),              # sem_u
+            pltpu.SemaphoreType.DMA((2,)),              # sem_r
+            pltpu.SemaphoreType.DMA((2,)),              # sem_w
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+    )(idx, n_active, oidx, n_off_act, osrc, odst,
+      hyper_mat, ld.diag, off_hbm, consts, stack)
+
+    state_new = MixState(
+        gamma=jnp.stack([new_stack[:, k] for k in range(K)]),
+        mu=jnp.stack([new_stack[:, K + k] for k in range(K)]),
+        eta=new_stack[:, 2 * K],
+        q=new_stack[:, 2 * K + 1])
+    eta_diff = new_stack[:, 2 * K + 2]
+    return state_new, eta_diff
 
 
 @functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps',

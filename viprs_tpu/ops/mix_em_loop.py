@@ -59,7 +59,7 @@ class MixEMResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter',
-                                   'inner_steps', 'use_pallas'))
+                                   'inner_steps', 'use_pallas', 'use_skip'))
 def mix_em_fit(ld: BlockLD,
                state0: MixState,
                std_beta, n_per_snp,
@@ -76,7 +76,8 @@ def mix_em_fit(ld: BlockLD,
                patience: int = 10,
                tile: int = 128,
                inner_steps: int = 8,
-               use_pallas: bool = False):
+               use_pallas: bool = False,
+               use_skip: bool = False):
     """Fused mixture EM. ``d_mult``: (K,) prior-variance multipliers."""
     K = hyper0.pi.shape[0]
     mask = ld.mask
@@ -111,7 +112,16 @@ def mix_em_fit(ld: BlockLD,
         i = c['i'] + 1
         hy = h32(c['hyper'])
 
-        if use_pallas:
+        if use_skip:
+            # Block-skipping mixture sweep (see em_loop.em_fit use_skip):
+            from .cavi_pallas import (cavi_sweep_mixture_pallas_skip,
+                                      mix_block_proposal_mask)
+            blk = mix_block_proposal_mask(ld, c['state'], std_beta,
+                                          n_per_snp, hy)
+            state, eta_diff = cavi_sweep_mixture_pallas_skip(
+                ld, c['state'], std_beta, n_per_snp, hy, blk, tile=tile,
+                inner_steps=inner_steps)
+        elif use_pallas:
             from .cavi_pallas import cavi_sweep_mixture_pallas
             state, eta_diff = cavi_sweep_mixture_pallas(
                 ld, c['state'], std_beta, n_per_snp, hy, tile=tile,
