@@ -321,3 +321,62 @@ def test_mixture_skip_kernel_matches_xla_interpret(problem, monkeypatch):
                                np.asarray(ref_full.eta), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_skip.q),
                                np.asarray(ref_full.q), atol=1e-4)
+
+
+def test_grid_skip_kernel_matches_xla_interpret(problem, monkeypatch):
+    """The S>1 model-grid skipping kernel vs the XLA sweep: all-active match,
+    frozen blocks bit-exact, inactive lanes frozen."""
+    from viprs_tpu.ops import cavi_pallas
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    S = 3
+    state, hyper = _state_hyper(lay, S=S)
+    state = state._replace(mu=0.01 * jnp.tile(sb[None], (S, 1, 1)),
+                           eta=0.002 * jnp.tile(sb[None], (S, 1, 1)))
+    from viprs_tpu.ops.cavi_jax import compute_q
+    state = state._replace(q=compute_q(ld, state.eta))
+    nb = lay.nb
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+
+    act = jnp.ones(S)
+    out_x, diff_x = cavi_sweep(ld, state, sb, nf, hyper, act, tile=64)
+
+    out_all, diff_all = cavi_pallas.cavi_sweep_pallas_skip_s.__wrapped__(
+        ld, state, sb, nf, hyper, act, jnp.ones(nb, bool), tile=64)
+    np.testing.assert_allclose(np.asarray(out_all.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_all.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(diff_all), np.asarray(diff_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(out_all.logits)),
+        np.asarray(jax.nn.sigmoid(out_x.logits)), atol=1e-5)
+
+    # subset of blocks active: frozen blocks bit-exact:
+    bm = np.zeros(nb, bool)
+    bm[::2] = True
+    out_sub, _ = cavi_pallas.cavi_sweep_pallas_skip_s.__wrapped__(
+        ld, state, sb, nf, hyper, act, jnp.asarray(bm), tile=64)
+    for name in ('logits', 'mu', 'eta'):
+        got = np.asarray(getattr(out_sub, name))
+        np.testing.assert_array_equal(got[:, ~bm],
+                                      np.asarray(getattr(state, name))[:, ~bm])
+        np.testing.assert_allclose(got[:, bm],
+                                   np.asarray(getattr(out_x, name))[:, bm],
+                                   atol=1e-4)
+
+    # an inactive lane must freeze even on active blocks:
+    act2 = jnp.asarray([1.0, 0.0, 1.0])
+    out_l, _ = cavi_pallas.cavi_sweep_pallas_skip_s.__wrapped__(
+        ld, state, sb, nf, hyper, act2, jnp.ones(nb, bool), tile=64)
+    np.testing.assert_array_equal(np.asarray(out_l.eta)[1],
+                                  np.asarray(state.eta)[1])

@@ -603,7 +603,7 @@ class VIPRS(BayesPRSModel):
         # the early iterations).
         on_tpu = jax.default_backend() in ('tpu', 'axon')
         use_pallas = (S >= 8 and on_tpu)
-        use_skip = (S == 1 and on_tpu)
+        use_skip = on_tpu
 
         init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
         if not continued or not self.history.get('ELBO'):
@@ -656,7 +656,7 @@ class VIPRS(BayesPRSModel):
                 active_in = jnp.asarray(np.arange(S_run) < n_act)
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
                 run_pallas = (S_run >= 8 and on_tpu)
-                run_skip = (S_run == 1 and on_tpu)
+                run_skip = on_tpu
             else:
                 state_in, hyper_in = self._state, self._hyper_f32()
                 fix_in, counters_in = self._fix_mask, counters

@@ -485,12 +485,13 @@ def _skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
     # ---- pass 2: cross-block coupling tiles (refresh_q, in kernel) ----
     # sbuf slot 0 is reused as the row scratch (pass 1 is complete).
     _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
-              obuf, sbuf, sem_u, sem_r, sem_w, q_row=3, diff_row=4,
-              scale=scale)
+              obuf, sbuf.at[I32(0), I32(0)], sbuf.at[I32(0), I32(1)],
+              sem_u, sem_r, sem_w, q_row=3, diff_row=4, scale=scale)
 
 
 def _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
-              obuf, rbuf, sem_u, sem_r, sem_w, *, q_row, diff_row, scale):
+              obuf, rbuf0, rbuf1, sem_u, sem_r, sem_w, *, q_row, diff_row,
+              scale, rows=1):
     """Apply the compacted active coupling tiles to the q plane of the stack:
     q[src] += scale * U @ diff[dst]; q[dst] += scale * U^T @ diff[src]
     (the in-kernel replacement of cavi_jax.refresh_q). Sequential RMW over the
@@ -520,10 +521,10 @@ def _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
         o = oidx_ref[k]
         bs = osrc_ref[o]
         bd = odst_ref[o]
-        cps = pltpu.make_async_copy(stack_out.at[bs],
-                                    rbuf.at[I32(0), I32(0)], sem_r.at[I32(0)])
-        cpd = pltpu.make_async_copy(stack_out.at[bd],
-                                    rbuf.at[I32(0), I32(1)], sem_r.at[I32(1)])
+        cps = pltpu.make_async_copy(stack_out.at[bs], rbuf0,
+                                    sem_r.at[I32(0)])
+        cpd = pltpu.make_async_copy(stack_out.at[bd], rbuf1,
+                                    sem_r.at[I32(1)])
         cps.start()
         cpd.start()
         pltpu.make_async_copy(off_hbm.at[oidx_ref[k]], obuf.at[slot],
@@ -532,20 +533,22 @@ def _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
         cpd.wait()
 
         U = obuf[slot].astype(F32)                            # (B, B)
-        v_s = rbuf[I32(0), I32(0), pl.ds(diff_row, 1), :]     # (1, B)
-        v_d = rbuf[I32(0), I32(1), pl.ds(diff_row, 1), :]
+        v_s = rbuf0[pl.ds(diff_row, rows), :]                 # (rows, B)
+        v_d = rbuf1[pl.ds(diff_row, rows), :]
         # (contract v_d lanes with U dim 1 / v_s lanes with U dim 0):
         upd_s = lax.dot_general(v_d, U, (((1,), (1,)), ((), ())),
-                                preferred_element_type=F32) * F32(scale)
+                                preferred_element_type=F32,
+                                precision=lax.Precision.HIGHEST) * F32(scale)
         upd_d = lax.dot_general(v_s, U, (((1,), (0,)), ((), ())),
-                                preferred_element_type=F32) * F32(scale)
-        qs = pl.ds(q_row, 1)
-        rbuf[I32(0), I32(0), qs, :] = rbuf[I32(0), I32(0), qs, :] + upd_s
-        rbuf[I32(0), I32(1), qs, :] = rbuf[I32(0), I32(1), qs, :] + upd_d
+                                preferred_element_type=F32,
+                                precision=lax.Precision.HIGHEST) * F32(scale)
+        qs = pl.ds(q_row, rows)
+        rbuf0[qs, :] = rbuf0[qs, :] + upd_s
+        rbuf1[qs, :] = rbuf1[qs, :] + upd_d
 
-        ws = pltpu.make_async_copy(rbuf.at[I32(0), I32(0)], stack_out.at[bs],
+        ws = pltpu.make_async_copy(rbuf0, stack_out.at[bs],
                                    sem_w.at[I32(0)])
-        wd = pltpu.make_async_copy(rbuf.at[I32(0), I32(1)], stack_out.at[bd],
+        wd = pltpu.make_async_copy(rbuf1, stack_out.at[bd],
                                    sem_w.at[I32(1)])
         ws.start()
         wd.start()
@@ -993,8 +996,256 @@ def _mix_skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
     lax.fori_loop(I32(0), nc, body, 0)
 
     _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
-              obuf, sbuf, sem_u, sem_r, sem_w, q_row=E_Q, diff_row=E_DF,
-              scale=scale)
+              obuf, sbuf.at[I32(0), I32(0)], sbuf.at[I32(0), I32(1)],
+              sem_u, sem_r, sem_w, q_row=E_Q, diff_row=E_DF, scale=scale)
+
+
+def _skip_kernel_s(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
+                   hyper_ref, diag_hbm, off_hbm, consts_hbm, stack_in,
+                   stack_out, cbuf, sbuf, dbuf, obuf,
+                   sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
+                   *, Sp, B, tile, n_tiles, scale, relax, inner_steps,
+                   w_once=True):
+    """Model-grid (S > 1) analog of ``_skip_kernel``: one block per chunk
+    (the Sp model lanes already fill the sublane dimension), (Sp, T) x (T, B)
+    MXU matmuls for the q updates, plane-wide coupling pass.
+
+    stack rows: [logits 0:Sp, mu Sp:2Sp, eta 2Sp:3Sp, q 3Sp:4Sp,
+    diff 4Sp:5Sp] (Sp = S padded to a multiple of 8; padded lanes carry
+    active=0). hyper_ref: (8, Sp) f32 VMEM rows
+    [sigma_eps, tau_beta, pi, active, lambda_min].
+    """
+    I32 = jnp.int32
+    n = n_ref[0]
+    sig_e = hyper_ref[0, :][:, None]          # (Sp, 1)
+    tau_b = hyper_ref[1, :][:, None]
+    pi_ = hyper_ref[2, :][:, None]
+    act = hyper_ref[3, :][:, None]
+    lam = hyper_ref[4, :][:, None]
+    on = (act > 0.0).astype(F32)
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    L0, M0, E0, Q0, D0 = 0, Sp, 2 * Sp, 3 * Sp, 4 * Sp
+
+    def start_chunk(c, slot):
+        b = idx_ref[c]
+        pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot],
+                              sem_d.at[slot]).start()
+        pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot],
+                              sem_c.at[slot]).start()
+        pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot],
+                              sem_s.at[slot]).start()
+
+    @pl.when(n > 0)
+    def _():
+        start_chunk(I32(0), I32(0))
+
+    def body(c, carry):
+        slot = lax.rem(c, I32(2))
+
+        @pl.when(c + I32(1) < n)
+        def _():
+            start_chunk(c + I32(1), lax.rem(c + I32(1), I32(2)))
+
+        b = idx_ref[c]
+        pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot],
+                              sem_d.at[slot]).wait()
+        pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot],
+                              sem_c.at[slot]).wait()
+        pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot],
+                              sem_s.at[slot]).wait()
+
+        cb = cbuf.at[slot]                          # (4, B)
+        sb = sbuf.at[slot]                          # (5*Sp, B) — in place
+        eta0_c = sb[pl.ds(E0, Sp), :]               # (Sp, B)
+
+        for t in range(n_tiles):
+            sl = pl.ds(t * tile, tile)
+            q_t = sb[pl.ds(Q0, Sp), sl]             # (Sp, T)
+            eta_t = sb[pl.ds(E0, Sp), sl]
+            logits_t = sb[pl.ds(L0, Sp), sl]
+            mu_t = sb[pl.ds(M0, Sp), sl]
+            nn_t = cb[1, sl][None, :]               # (1, T)
+            bb_t = cb[0, sl][None, :]
+            mm_t = cb[2, sl][None, :]
+
+            var_tau_t = nn_t * (1.0 + lam) / sig_e + tau_b
+            mu_mult_t = nn_t / (var_tau_t * sig_e)
+
+            D_rows = dbuf[slot, sl, :].astype(F32)              # (T, B)
+            R_tt = dbuf[slot, sl, sl].astype(F32) * F32(scale)  # (T, T)
+            R_abs = jnp.abs(R_tt)
+            R_abs_diag = mm_t                      # unit diag on real lanes
+
+            g_cur = jax.nn.sigmoid(logits_t)
+            mu_cur = mu_t
+            eta_cur = eta_t
+            q_cur = q_t
+            w = None
+            for step in range(inner_steps):
+                mu_star = mu_mult_t * (bb_t - q_cur)
+                u_star = base_logit - 0.5 * jnp.log(var_tau_t) \
+                    + 0.5 * var_tau_t * mu_star * mu_star
+                g_star = jax.nn.sigmoid(u_star)
+                if relax and not (w_once and step > 0):
+                    coupling = jnp.dot(g_star * jnp.abs(mu_mult_t), R_abs,
+                                       preferred_element_type=F32,
+                                       precision=lax.Precision.HIGHEST)
+                    coupling = coupling \
+                        - R_abs_diag * g_star * jnp.abs(mu_mult_t)
+                    w = act / (1.0 + coupling)
+                elif not relax:
+                    w = act
+                g_cur = g_cur + w * (g_star - g_cur)
+                mu_cur = mu_cur + w * (mu_star - mu_cur)
+                eta_new = g_cur * mu_cur
+                d_in = (eta_new - eta_cur) * mm_t * on
+                q_cur = q_cur + jnp.dot(d_in, R_tt,
+                                        preferred_element_type=F32,
+                                        precision=lax.Precision.HIGHEST) - d_in
+                eta_cur = eta_cur + d_in
+
+            d_t = (eta_cur - eta_t) * mm_t * on
+            keep = jnp.abs(d_t) >= ETA_DIFF_EPS
+            d_t = jnp.where(keep, d_t, 0.0)
+
+            u_new = jnp.log(jnp.clip(g_cur, F32(1e-30), None)) \
+                - jnp.log1p(-jnp.clip(g_cur, None, F32(1.0 - 1e-7)))
+            sb[pl.ds(L0, Sp), sl] = jnp.where(keep, u_new, logits_t)
+            sb[pl.ds(M0, Sp), sl] = jnp.where(keep, mu_cur, mu_t)
+            sb[pl.ds(E0, Sp), sl] = eta_t + d_t
+
+            q_upd = jnp.dot(d_t, D_rows, preferred_element_type=F32,
+                            precision=lax.Precision.HIGHEST) * F32(scale)
+            sb[pl.ds(Q0, Sp), :] = sb[pl.ds(Q0, Sp), :] + q_upd
+            sb[pl.ds(Q0, Sp), sl] = sb[pl.ds(Q0, Sp), sl] - d_t
+
+        sb[pl.ds(D0, Sp), :] = sb[pl.ds(E0, Sp), :] - eta0_c
+
+        cp = pltpu.make_async_copy(sbuf.at[slot], stack_out.at[b],
+                                   sem_o.at[slot])
+        cp.start()
+        cp.wait()
+        return 0
+
+    lax.fori_loop(I32(0), n, body, 0)
+
+    _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
+              obuf, sbuf.at[I32(0)], sbuf.at[I32(1)],
+              sem_u, sem_r, sem_w, q_row=Q0, diff_row=D0, scale=scale,
+              rows=Sp)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps'))
+def cavi_sweep_pallas_skip_s(ld: BlockLD, state: CaviState, std_beta,
+                             n_per_snp, hyper: Hyper, active, blk_mask,
+                             tile: int = 128, relax: bool = True,
+                             inner_steps: int = 8):
+    """Model-grid skipping sweep (S > 1); same contract as cavi_sweep plus
+    ``blk_mask`` ((NB,) bool — e.g. the any-over-active-lanes reduction of
+    block_proposal_mask). Quiescent blocks pass through bit-exactly; coupling
+    tiles are applied in-kernel."""
+    B = ld.block_size
+    NB = ld.nb
+    S = state.logits.shape[0]
+    assert B % tile == 0
+    n_tiles = B // tile
+    Sp = S + (-S) % 8
+    state = CaviState(*(x.astype(F32) for x in state))
+
+    blk_mask = blk_mask.astype(bool)
+    idx = jnp.argsort(~blk_mask, stable=True).astype(jnp.int32)
+    n_active = jnp.sum(blk_mask).astype(jnp.int32).reshape(1)
+    if ld.n_off > 0:
+        off_act = blk_mask[ld.off_src] | blk_mask[ld.off_dst]
+        oidx = jnp.argsort(~off_act, stable=True).astype(jnp.int32)
+        n_off_act = jnp.sum(off_act).astype(jnp.int32).reshape(1)
+        off_hbm = ld.off_data
+        osrc = ld.off_src.astype(jnp.int32)
+        odst = ld.off_dst.astype(jnp.int32)
+    else:
+        oidx = jnp.zeros(1, jnp.int32)
+        n_off_act = jnp.zeros(1, jnp.int32)
+        off_hbm = jnp.zeros((1, B, B), ld.diag.dtype)
+        osrc = jnp.zeros(1, jnp.int32)
+        odst = jnp.zeros(1, jnp.int32)
+
+    def padS(x, fill):
+        return jnp.concatenate(
+            [x.astype(F32), jnp.full(Sp - S, fill, F32)]) if Sp > S \
+            else x.astype(F32)
+    hyper_mat = jnp.stack([
+        padS(hyper.sigma_eps, 1.0),
+        padS(hyper.tau_beta, 1.0),
+        padS(hyper.pi, 0.5),          # pads must stay clear of log(0)
+        padS(active.astype(F32), 0.0),
+        padS(hyper.lambda_min, 0.0),
+        jnp.zeros(Sp, F32), jnp.zeros(Sp, F32), jnp.zeros(Sp, F32),
+    ])                                            # (8, Sp)
+
+    consts = jnp.stack([std_beta.astype(F32), n_per_snp.astype(F32),
+                        ld.mask.astype(F32),
+                        jnp.zeros_like(ld.mask, F32)], axis=1)   # (NB, 4, B)
+
+    def padded(x):
+        if Sp > S:
+            pad = jnp.zeros((Sp - S,) + x.shape[1:], F32)
+            x = jnp.concatenate([x, pad], axis=0)
+        return jnp.transpose(x, (1, 0, 2))        # (NB, Sp, B)
+    zeros = jnp.zeros((NB, Sp, B), F32)
+    stack = jnp.concatenate(
+        [padded(state.logits), padded(state.mu), padded(state.eta),
+         padded(state.q), zeros], axis=1)         # (NB, 5*Sp, B)
+
+    kernel = functools.partial(_skip_kernel_s, Sp=Sp, B=B, tile=tile,
+                               n_tiles=n_tiles, scale=ld.scale, relax=relax,
+                               inner_steps=inner_steps)
+
+    dma_bytes = 2 * (B * B * ld.diag.dtype.itemsize
+                     + (5 * Sp + 4) * B * 4) \
+        + 2 * B * B * ld.diag.dtype.itemsize
+    vmem_limit = min(110 * 1024 * 1024, dma_bytes + 64 * 1024 * 1024)
+    new_stack = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_active
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # oidx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_off_act
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_src
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_dst
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hyper (8, Sp)
+            pl.BlockSpec(memory_space=pl.ANY),          # diag
+            pl.BlockSpec(memory_space=pl.ANY),          # off tiles
+            pl.BlockSpec(memory_space=pl.ANY),          # consts
+            pl.BlockSpec(memory_space=pl.ANY),          # stack
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((NB, 5 * Sp, B), F32),
+        input_output_aliases={10: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, B), F32),                 # cbuf
+            pltpu.VMEM((2, 5 * Sp, B), F32),            # sbuf
+            pltpu.VMEM((2, B, B), ld.diag.dtype),       # dbuf
+            pltpu.VMEM((2, B, B), ld.diag.dtype),       # obuf
+            pltpu.SemaphoreType.DMA((2,)),              # sem_c
+            pltpu.SemaphoreType.DMA((2,)),              # sem_s
+            pltpu.SemaphoreType.DMA((2,)),              # sem_d
+            pltpu.SemaphoreType.DMA((2,)),              # sem_o
+            pltpu.SemaphoreType.DMA((2,)),              # sem_u
+            pltpu.SemaphoreType.DMA((2,)),              # sem_r
+            pltpu.SemaphoreType.DMA((2,)),              # sem_w
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+    )(idx, n_active, oidx, n_off_act, osrc, odst,
+      hyper_mat, ld.diag, off_hbm, consts, stack)
+
+    def plane(i):
+        return jnp.transpose(new_stack[:, i * Sp:i * Sp + S], (1, 0, 2))
+    state_new = CaviState(logits=plane(0), mu=plane(1), eta=plane(2),
+                          q=plane(3))
+    eta_diff = plane(4)
+    return state_new, eta_diff
 
 
 def mix_block_proposal_mask(ld: BlockLD, state, std_beta, n_per_snp,

@@ -188,6 +188,16 @@ def em_fit(ld: BlockLD,
             state, eta_diff = cavi_sweep_pallas_s1_skip(
                 ld, c.state, std_beta, n_per_snp, h32, act_f, blk,
                 tile=tile, inner_steps=inner_steps)
+        elif use_skip:
+            # S > 1: a block is active if ANY live model lane still proposes
+            # a step on it (the union gate keeps lane subsetting exact).
+            from .cavi_pallas import (cavi_sweep_pallas_skip_s,
+                                      block_proposal_mask)
+            pm = block_proposal_mask(ld, c.state, std_beta, n_per_snp, h32)
+            blk = jnp.any(pm & (act_f[:, None] > 0.0), axis=0)     # (NB,)
+            state, eta_diff = cavi_sweep_pallas_skip_s(
+                ld, c.state, std_beta, n_per_snp, h32, act_f, blk,
+                tile=tile, inner_steps=inner_steps)
         elif use_pallas:
             from .cavi_pallas import cavi_sweep_pallas
             state, eta_diff = cavi_sweep_pallas(ld, c.state, std_beta,
