@@ -131,7 +131,7 @@ def refresh_q(ld: BlockLD, q, eta_diff):
 
 def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
                      hyper: Hyper, active, scale, tile, n_tiles, relax,
-                     inner_steps, w_once=True, s1_reduce=False):
+                     inner_steps, w_once=False, s1_reduce=False):
     """Gauss-Seidel over tiles within one LD block.
 
     Within a tile the T coordinates update jointly (Jacobi), which overshoots
@@ -249,7 +249,7 @@ def _block_tile_loop(D_b, beta_b, n_b, mask_b, logits_b, mu_b, eta_b, q_b,
                                    's1_reduce'))
 def cavi_sweep(ld: BlockLD, state: CaviState, std_beta, n_per_snp,
                hyper: Hyper, active, damping=1.0, tile: int = 128,
-               relax: bool = True, inner_steps: int = 8, w_once: bool = True,
+               relax: bool = True, inner_steps: int = 8, w_once: bool = False,
                s1_reduce: bool = False):
     """One full CAVI e-step sweep over all blocks and models.
 

@@ -83,7 +83,6 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
         R_abs_diag = jnp.diagonal(R_abs)
 
         g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
-        w = None
         for step in range(inner_steps):
             mu_star = mu_mult_t * (beta_t - q_cur[None, :])    # (K,T)
             u = base_logit - 0.5 * jnp.log(var_tau_t) \
@@ -97,14 +96,17 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
 
             # gamma-weighted within-tile under-relaxation (same stabilization
             # as the spike-and-slab kernel; Jacobi overshoots on stiff LD).
-            # The weight is computed on the first pass and reused — identical
-            # convergence, ~half the small-matmul launches per sweep:
-            if step == 0:
-                pip_star = jnp.sum(g_star, axis=0)                 # (T,)
-                coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
-                                   preferred_element_type=F32)
-                coupling = coupling - R_abs_diag * pip_star * mu_mult_max
-                w = (1.0 / (1.0 + coupling))[None, :]              # (1,T)
+            # Recomputed on EVERY inner pass: the inclusion probabilities can
+            # grow by orders of magnitude across the refinement steps, and a
+            # weight frozen from the first pass overshoots catastrophically on
+            # stiff genome-scale blocks (the w_once regression — see
+            # DESIGN.md; the extra (T,)x(T,T) matvec per step is noise next
+            # to the block matmul).
+            pip_star = jnp.sum(g_star, axis=0)                     # (T,)
+            coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
+                               preferred_element_type=F32)
+            coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+            w = (1.0 / (1.0 + coupling))[None, :]                  # (1,T)
 
             g_cur = g_cur + w * (g_star - g_cur)
             mu_cur = mu_cur + w * (mu_star - mu_cur)

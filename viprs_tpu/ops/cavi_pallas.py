@@ -49,7 +49,7 @@ def _row_matmul(d, R):
 def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                   diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
                   logits_out, mu_out, eta_out, q_out,
-                  *, tile, n_tiles, scale, relax, inner_steps, w_once=True):
+                  *, tile, n_tiles, scale, relax, inner_steps, w_once=False):
     """One LD block. diag_ref: (1, B, B) storage dtype; state refs: (1, S, B);
     row refs: (1, 1, B); hyper_ref: (8, S) f32 rows
     [sigma_eps, tau_beta, pi, active, lambda_min]."""
@@ -133,7 +133,7 @@ def _sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
 def _sweep_kernel_s1(beta_ref, n_ref, mask_ref, hyper_ref,
                      diag_ref, logits_ref, mu_ref, eta_ref, q_ref,
                      logits_out, mu_out, eta_out, q_out,
-                     *, tile, n_tiles, scale, relax, inner_steps, w_once=True):
+                     *, tile, n_tiles, scale, relax, inner_steps, w_once=False):
     """Single-model (S == 1) sweep over a CHUNK of G LD blocks.
 
     At S == 1 the rank-T q-updates are matvecs: on the MXU they are
@@ -319,7 +319,7 @@ def _skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
                  stack_out, cbuf, sbuf, dbuf, obuf,
                  sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
                  *, G, B, tile, n_tiles, scale, relax, inner_steps,
-                 w_once=True):
+                 w_once=False):
     """Active-block-compacted single-model sweep (the TPU analog of the
     reference's per-variant skip threshold, e_step.hpp:382,410-413, lifted to
     LD-block granularity).
@@ -700,7 +700,7 @@ def cavi_sweep_pallas_s1_skip(ld: BlockLD, state: CaviState, std_beta,
 def _mix_sweep_kernel(beta_ref, n_ref, mask_ref, hyper_ref,
                       diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
                       gamma_out, mu_out, eta_out, q_out,
-                      *, tile, n_tiles, scale, inner_steps, w_once=True):
+                      *, tile, n_tiles, scale, inner_steps, w_once=False):
     """Mixture-prior sweep for one LD block (the Pallas analog of
     cavi_mix._mix_block_tile_loop). diag_ref: (1, B, B) storage dtype;
     gamma/mu refs: (1, K, B); eta/q refs: (1, 1, B); hyper_ref: (8, K) rows
@@ -851,7 +851,7 @@ def _mix_skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
                      stack_out, cbuf, sbuf, dbuf, obuf,
                      sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
                      *, K, R, G, B, tile, n_tiles, scale, inner_steps,
-                     w_once=True):
+                     w_once=False):
     """Mixture-prior analog of ``_skip_kernel``: active-block-compacted sweep
     with K slab components per variant (e_step_mixture, e_step.hpp:447-551).
 
@@ -1005,7 +1005,7 @@ def _skip_kernel_s(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
                    stack_out, cbuf, sbuf, dbuf, obuf,
                    sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
                    *, Sp, B, tile, n_tiles, scale, relax, inner_steps,
-                   w_once=True):
+                   w_once=False):
     """Model-grid (S > 1) analog of ``_skip_kernel``: one block per chunk
     (the Sp model lanes already fill the sublane dimension), (Sp, T) x (T, B)
     MXU matmuls for the q updates, plane-wide coupling pass.
