@@ -331,7 +331,9 @@ class TestVIPRSGrid:
         np.random.seed(14)
         g = VIPRSGrid(ds, HyperparameterGrid(pi_steps=4, n_snps=ds.m))
         g.fit(max_iter=200)
-        assert g.post_mean_beta is None  # moments deferred for S > 1
+        # fit() must not materialize host moments for S > 1 (they pull lazily
+        # through the property on first access):
+        assert g._post_mean_beta is None
         select_best_model(g, validation_gdl=validation_gdl,
                           criterion='validation')
         assert g.n_models == 1

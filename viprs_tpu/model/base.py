@@ -47,11 +47,46 @@ class BayesPRSModel:
         self.validation_std_beta = None
         self._sample_size = dict_max(self.n_per_snp)
 
-        self.pip = None
-        self.post_mean_beta = None
-        self.post_var_beta = None
+        self._pip = None
+        self._post_mean_beta = None
+        self._post_var_beta = None
 
     # --------------------------------------------------------------- properties
+    # pip / post_mean_beta / post_var_beta are lazy: fits keep the posterior
+    # on device and materialize host copies on first access (one fused device
+    # computation + one transfer), so fit() itself never pays the transfer.
+    # Internal fast paths that only need the means check the backing fields
+    # (``_post_mean_beta``) to preserve the means-only materialization.
+    @property
+    def pip(self):
+        if self._pip is None:
+            self._materialize_posterior_moments()
+        return self._pip
+
+    @pip.setter
+    def pip(self, value):
+        self._pip = value
+
+    @property
+    def post_mean_beta(self):
+        if self._post_mean_beta is None:
+            self._materialize_posterior_moments()
+        return self._post_mean_beta
+
+    @post_mean_beta.setter
+    def post_mean_beta(self, value):
+        self._post_mean_beta = value
+
+    @property
+    def post_var_beta(self):
+        if self._post_var_beta is None:
+            self._materialize_posterior_moments()
+        return self._post_var_beta
+
+    @post_var_beta.setter
+    def post_var_beta(self, value):
+        self._post_var_beta = value
+
     @property
     def gdl(self):
         """Alias retained for users migrating from the reference API."""
@@ -175,9 +210,9 @@ class BayesPRSModel:
     # ---------------------------------------------------------------- prediction
     def predict(self, test_gdl=None):
         """Linear scoring (genotype . beta) on the training or new samples."""
-        if self.post_mean_beta is None:
+        if self._post_mean_beta is None:
             self._materialize_posterior_moments(means_only=True)
-        if self.post_mean_beta is None:
+        if self._post_mean_beta is None:
             raise ValueError("The posterior means for BETA are not set. Call `.fit()` first.")
 
         if test_gdl is None:
@@ -243,9 +278,9 @@ class BayesPRSModel:
                  per_chromosome=False):
         """Posterior estimates as (per-chromosome) DataFrames
         (reference BayesPRSModel.py:333-373)."""
-        if self.post_mean_beta is None:
+        if self._post_mean_beta is None:
             self._materialize_posterior_moments()
-        if self.post_mean_beta is None:
+        if self._post_mean_beta is None:
             raise RuntimeError("The posterior means for BETA are not set. Call `.fit()` first.")
 
         snp_tables = (self.dataset.snp_table if self.dataset.snp_table is not None
@@ -280,9 +315,9 @@ class BayesPRSModel:
         """Summary-statistics-only R^2 (reference BayesPRSModel.py:375-410)."""
         from ..eval.pseudo import pseudo_r2, _streamlined_pseudo_r2
 
-        if self.post_mean_beta is None:
+        if self._post_mean_beta is None:
             self._materialize_posterior_moments(means_only=True)
-        assert self.post_mean_beta is not None, \
+        assert self._post_mean_beta is not None, \
             "The posterior means for BETA are not set. Call `.fit()` first."
         assert self.validation_std_beta is not None or test_gdl is not None, (
             "Provide a validation dataset or run split_gwas_sumstats() first.")

@@ -200,6 +200,17 @@ class VIPRSMix(BayesPRSModel):
         self.post_mean_beta = self._dict_view(eta)
         self.post_var_beta = self._dict_view(zeta - eta ** 2)
 
+    def _materialize_posterior_moments(self, means_only=False):
+        """Lazy host materialization of the posterior moments (see
+        BayesPRSModel: fits leave the posterior device-side)."""
+        if self._state is None:
+            return
+        if means_only:
+            if self._post_mean_beta is None:
+                self.post_mean_beta = self.eta
+        elif self._pip is None or self._post_var_beta is None:
+            self.update_posterior_moments()
+
     # ------------------------------------------------------------------- elbo
     def _elbo_and_stats(self, stats=None):
         h = self._hyper
@@ -365,7 +376,8 @@ class VIPRSMix(BayesPRSModel):
                                              "You may need to run the model for more iterations.",
                                      increment=False)
 
-        self.update_posterior_moments()
+        # moments materialize lazily on first access (see BayesPRSModel):
+        self.pip = self.post_mean_beta = self.post_var_beta = None
         return self
 
     def _mix_fix(self):
@@ -436,7 +448,7 @@ class VIPRSMix(BayesPRSModel):
             code, float(np.asarray(res.final_elbo)), nit)
         if not self.optim_result.success:
             logger.warning("\t%s", self.optim_result.message)
-        self.update_posterior_moments()
+        self.pip = self.post_mean_beta = self.post_var_beta = None
         return self
 
     def write_inferred_theta(self, f_name, sep="\t"):

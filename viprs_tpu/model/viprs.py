@@ -40,6 +40,26 @@ def _logit(p):
     return np.log(p) - np.log1p(-p)
 
 
+@jax.jit
+def _posterior_moments_jit(state, n_flat, hyper32):
+    """(pip, posterior mean, posterior variance) in one device dispatch."""
+    var_tau = updates.compute_var_tau(n_flat, hyper32)
+    zeta = updates.compute_zeta(state, var_tau)
+    eta = state.eta
+    return state.gamma, eta, zeta - eta * eta
+
+
+@jax.jit
+def _elbo_jit(state, n_flat, std_beta_flat, mask, hyper32, fix_sigma_eps,
+              sigma_g, n_sample, m_total):
+    """Full ELBO from raw state in one device dispatch (the eager path pays
+    ~15 accelerator round trips for the same arithmetic)."""
+    var_tau = updates.compute_var_tau(n_flat, hyper32)
+    stats = updates.collect_stats(state, var_tau, std_beta_flat, mask)
+    return updates.elbo(stats, hyper32, fix_sigma_eps, sigma_g,
+                        n_sample, m_total)
+
+
 class VIPRS(BayesPRSModel):
 
     def __init__(self,
@@ -436,11 +456,11 @@ class VIPRS(BayesPRSModel):
                                     self._hyper_f32())
 
     def elbo(self, sum_axis=None):
-        stats = self._stats()
-        e = updates.elbo(stats, self._hyper_f32(),
-                         jnp.asarray(self._fix_mask.sigma_eps),
-                         jnp.asarray(np.atleast_1d(self._sigma_g)),
-                         self.n, float(self.m))
+        e = _elbo_jit(self._state, self._n_flat, self._std_beta_flat,
+                      self.dataset.ld.mask, self._hyper_f32(),
+                      jnp.asarray(self._fix_mask.sigma_eps),
+                      jnp.asarray(np.atleast_1d(self._sigma_g)),
+                      self.n, float(self.m))
         return self._scalar(np.asarray(e))
 
     def objective(self):
@@ -476,25 +496,29 @@ class VIPRS(BayesPRSModel):
         return self.zeta
 
     def update_posterior_moments(self):
-        """pip / posterior mean / posterior variance (VIPRS.py:899-907)."""
-        self.pip = self.var_gamma
-        self.post_mean_beta = self.eta
-        zeta = self.zeta
-        self.post_var_beta = {c: zeta[c] - self.post_mean_beta[c] ** 2
-                              for c in zeta}
+        """pip / posterior mean / posterior variance (VIPRS.py:899-907).
+
+        One fused device computation and one host transfer for all three
+        moments (separate eager property reads each pay the full accelerator
+        round-trip latency on remote transports)."""
+        g, eta, var = jax.device_get(_posterior_moments_jit(
+            self._state, self._n_flat, self._hyper_f32()))
+        self.pip = self._dict_view(g)
+        self.post_mean_beta = self._dict_view(eta)
+        self.post_var_beta = self._dict_view(var)
 
     def _materialize_posterior_moments(self, means_only=False):
-        """Simultaneous grid fits (S > 1) defer moment materialization to avoid
-        transferring S full posteriors off-device (see ``fit``). When a consumer
-        (prediction, table I/O, pseudo-validation over an external dataset)
-        needs host arrays, pull them lazily — just the posterior means when
-        ``means_only`` (scoring needs nothing else)."""
+        """Fits keep the posterior device-side (see ``fit``); consumers
+        (prediction, table I/O, pseudo-validation over an external dataset, the
+        lazy ``pip``/``post_mean_beta``/``post_var_beta`` properties) pull host
+        arrays on first access — just the posterior means when ``means_only``
+        (scoring needs nothing else)."""
         if self._state is None:
             return
         if means_only:
-            if self.post_mean_beta is None:
+            if self._post_mean_beta is None:
                 self.post_mean_beta = self.eta
-        elif self.pip is None or self.post_var_beta is None:
+        elif self._pip is None or self._post_var_beta is None:
             self.update_posterior_moments()
 
     # ---------------------------------------------------------------- reporting
@@ -597,13 +621,16 @@ class VIPRS(BayesPRSModel):
 
         S = self._S
         # The Pallas sweep kernel (VMEM-resident per-block state, MXU rank-T
-        # updates) wins decisively for wide model grids on TPU (~3x at S=100).
-        # At S=1 the block-skipping gather-DMA kernel wins: it streams only
-        # the LD blocks whose CAVI proposal still moves (a few percent after
-        # the early iterations).
+        # updates) wins decisively for wide model grids on TPU (measured
+        # 8.1 s vs 15-18 s for the grid(100) workload, BENCH.md): with many
+        # lanes the union activity gate keeps most blocks live, so the
+        # block-skipping kernel pays its gather-DMA overhead for nothing.
+        # At S == 1 the block-skipping kernel wins: it streams only the LD
+        # blocks whose CAVI proposal still moves (a few percent after the
+        # early iterations, ~10x average sweep-cost reduction).
         on_tpu = jax.default_backend() in ('tpu', 'axon')
         use_pallas = (S >= 8 and on_tpu)
-        use_skip = on_tpu
+        use_skip = (S == 1 and on_tpu)
 
         init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
         if not continued or not self.history.get('ELBO'):
@@ -656,7 +683,7 @@ class VIPRS(BayesPRSModel):
                 active_in = jnp.asarray(np.arange(S_run) < n_act)
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
                 run_pallas = (S_run >= 8 and on_tpu)
-                run_skip = on_tpu
+                run_skip = (S_run == 1 and on_tpu)
             else:
                 state_in, hyper_in = self._state, self._hyper_f32()
                 fix_in, counters_in = self._fix_mask, counters
@@ -687,25 +714,30 @@ class VIPRS(BayesPRSModel):
                 hyper_np = {f: np.atleast_1d(np.asarray(
                     getattr(self._hyper, f), dtype=np.float64)).copy()
                     for f in self._hyper._fields}
+                res_hyper_np, sg_np, status_np, nit_np, med_np, n_total_np, \
+                    fe_part, hist_dev = jax.device_get(
+                        (res.hyper, res.sigma_g, res.status, res.nit,
+                         res.max_eta_diff, res.n_iter_total, res.final_elbo,
+                         res.elbo_hist))
                 for i, f in enumerate(self._hyper._fields):
-                    hyper_np[f][sel] = np.asarray(res.hyper[i],
+                    hyper_np[f][sel] = np.asarray(res_hyper_np[i],
                                                   dtype=np.float64)[:n_act]
                 self._hyper = Hyper(**hyper_np)
                 sg = np.atleast_1d(np.asarray(self._sigma_g,
                                               dtype=np.float64)).copy()
-                sg[sel] = np.asarray(res.sigma_g, dtype=np.float64)[:n_act]
+                sg[sel] = np.asarray(sg_np, dtype=np.float64)[:n_act]
                 self._sigma_g = sg
                 counters = em_loop.EMCounters(
                     *(scat(f, p) for f, p in zip(counters, res.counters)))
                 statuses = statuses.copy()
-                statuses[sel] = np.asarray(res.status)[:n_act]
-                nit_acc[sel] = np.asarray(res.nit)[:n_act]
-                med_acc[sel] = np.asarray(res.max_eta_diff)[:n_act]
-                n_in_chunk = int(np.asarray(res.n_iter_total))
+                statuses[sel] = status_np[:n_act]
+                nit_acc[sel] = nit_np[:n_act]
+                med_acc[sel] = med_np[:n_act]
+                n_in_chunk = int(n_total_np)
                 it_done += n_in_chunk
                 fe = init_elbo.copy()
-                fe[sel] = np.asarray(res.final_elbo, dtype=np.float64)[:n_act]
-                sub_hist = np.asarray(res.elbo_hist)[1:n_in_chunk + 1]
+                fe[sel] = np.asarray(fe_part, dtype=np.float64)[:n_act]
+                sub_hist = np.asarray(hist_dev)[1:n_in_chunk + 1]
                 for row in sub_hist:
                     full_row = init_elbo.copy()
                     full_row[sel] = row[:n_act]
@@ -715,16 +747,22 @@ class VIPRS(BayesPRSModel):
                 self._adopt_result(res)
                 counters = res.counters
                 # merge only lanes that entered this chunk active — finished
-                # lanes report nit=0 / RUNNING in later chunks:
+                # lanes report nit=0 / RUNNING in later chunks (one batched
+                # device->host transfer; separate np.asarray pulls each pay
+                # the accelerator round trip):
+                status_np, nit_np, med_np, n_total_np, fe_np, hist_dev = \
+                    jax.device_get((res.status, res.nit, res.max_eta_diff,
+                                    res.n_iter_total, res.final_elbo,
+                                    res.elbo_hist))
                 statuses = statuses.copy()
-                statuses[active_np] = np.asarray(res.status)[active_np]
-                nit_acc[active_np] = np.asarray(res.nit)[active_np]
-                med_acc[active_np] = np.asarray(res.max_eta_diff)[active_np]
-                n_in_chunk = int(np.asarray(res.n_iter_total))
+                statuses[active_np] = status_np[active_np]
+                nit_acc[active_np] = nit_np[active_np]
+                med_acc[active_np] = med_np[active_np]
+                n_in_chunk = int(n_total_np)
                 it_done += n_in_chunk
-                init_elbo = np.asarray(res.final_elbo, dtype=np.float64)
+                init_elbo = np.asarray(fe_np, dtype=np.float64)
 
-                hist = np.asarray(res.elbo_hist)[1:n_in_chunk + 1]
+                hist = np.asarray(hist_dev)[1:n_in_chunk + 1]
                 self.history['ELBO'].extend(
                     [row[0] for row in hist] if S == 1 else list(hist))
             self._merged_result = em_loop.EMResult(
@@ -769,14 +807,11 @@ class VIPRS(BayesPRSModel):
         if pbar is not None:
             pbar.close()
 
-        if self._S == 1:
-            self.update_posterior_moments()
-        else:
-            # Grid models materialize moments lazily (see
-            # _materialize_posterior_moments) or after collapsing to one model
-            # — S full posteriors cost GBs of device->host traffic. Clear any
-            # previously materialized host copies so they can't go stale:
-            self.pip = self.post_mean_beta = self.post_var_beta = None
+        # Posterior moments materialize lazily on first access (the pip /
+        # post_mean_beta / post_var_beta properties) — fit() itself never pays
+        # the device->host transfer. Clear any previously materialized host
+        # copies so they can't go stale:
+        self.pip = self.post_mean_beta = self.post_var_beta = None
         self._last_result = self._merged_result
         self._populate_optim_result(self._merged_result)
 
@@ -813,8 +848,10 @@ class VIPRS(BayesPRSModel):
 
     def _adopt_result(self, res):
         self._state = res.state
-        self._hyper = Hyper(*(np.asarray(x, dtype=np.float64) for x in res.hyper))
-        self._sigma_g = np.asarray(res.sigma_g, dtype=np.float64)
+        hyper_np, sigma_g_np = jax.device_get((res.hyper, res.sigma_g))
+        self._hyper = Hyper(*(np.asarray(x, dtype=np.float64)
+                              for x in hyper_np))
+        self._sigma_g = np.asarray(sigma_g_np, dtype=np.float64)
         self._last_result = res
 
     def _restart_models(self, restart_mask, theta_0, param_0):
