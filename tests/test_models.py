@@ -61,6 +61,27 @@ class TestVIPRS:
         bt = np.concatenate([sim['beta_true'][c] for c in m.chromosomes])
         assert np.corrcoef(eta, bt)[0, 1] > 0.4
 
+    def test_lazy_posterior_moments(self, dataset):
+        """fit() leaves the posterior on device; the pip/post_mean_beta/
+        post_var_beta properties materialize host copies on first access and
+        match an explicit update_posterior_moments() call."""
+        np.random.seed(11)
+        m = VIPRS(dataset)
+        m.fit(max_iter=50)
+        assert m._pip is None and m._post_mean_beta is None \
+            and m._post_var_beta is None
+        pip = m.pip            # triggers the one-dispatch materialization
+        assert pip is not None and m._post_var_beta is not None
+        lazy = {c: (np.array(m.pip[c]), np.array(m.post_mean_beta[c]),
+                    np.array(m.post_var_beta[c])) for c in m.chromosomes}
+        m.update_posterior_moments()
+        for c in m.chromosomes:
+            np.testing.assert_allclose(lazy[c][0], m.pip[c], rtol=1e-6)
+            np.testing.assert_allclose(lazy[c][1], m.post_mean_beta[c],
+                                       rtol=1e-6)
+            np.testing.assert_allclose(lazy[c][2], m.post_var_beta[c],
+                                       rtol=1e-6, atol=1e-12)
+
     def test_tracked_params(self, dataset):
         np.random.seed(2)
         m = VIPRS(dataset, tracked_params=['pi', 'sigma_epsilon', 'heritability'])
