@@ -74,3 +74,27 @@ class TestGridSearchFacade:
         model = gs.fit(max_iter=150)
         assert model.n_models == 1
         assert model.post_mean_beta is not None
+
+    def test_pathwise_nongrid_model(self):
+        """Reference parity: the search accepts any PRS model class
+        (HyperparameterSearch.py:104-111), e.g. the mixture model — fitted
+        pathwise with each grid row pinned through fix_params."""
+        from viprs_tpu.model.mix import VIPRSMix
+
+        sim = simulate_sumstats_blocks(n=2500, block_sizes=(180, 150), h2=0.35,
+                                       prop_causal=0.05, seed=56)
+        ds = SummaryStatsDataset.from_dense_blocks(
+            sim['ld_blocks'], sim['std_beta'], sim['n_per_snp'], block_size=128)
+        grid = HyperparameterGrid(pi_steps=3, n_snps=ds.m)
+        np.random.seed(0)
+        gs = GridSearch(ds, grid, criterion='ELBO', model_class=VIPRSMix, K=2)
+        model = gs.fit(max_iter=150)
+        assert isinstance(model, VIPRSMix)
+        assert model.post_mean_beta is not None
+        assert gs.validation_result is not None
+        assert len(gs.validation_result) == grid.n_models
+        assert np.isfinite(gs.validation_result['ELBO']).any()
+        # the returned model is the argmax of the recorded scores
+        best = gs.validation_result['ELBO'].idxmax()
+        assert np.isclose(model.objective(),
+                          gs.validation_result['ELBO'][best])

@@ -148,7 +148,14 @@ def bayesian_model_average(viprs_grid_model, normalization='softmax'):
 class GridSearch:
     """Facade replicating the reference's process-parallel `GridSearch`
     (HyperparameterSearch.py:197-351): on TPU the grid is fit simultaneously
-    (the vmapped model axis), then the best model is selected by the criterion.
+    (the vmapped model axis) for grid-capable models, then the best model is
+    selected by the criterion.
+
+    Like the reference — whose search fans out *any* PRS model with
+    `fix_params` set per grid row (HyperparameterSearch.py:16-64,104-111) —
+    non-grid model classes (e.g. ``VIPRSMix``) are supported through a
+    pathwise fallback: one fit per grid row with the row pinned via
+    ``fix_params``, scored under the same criterion.
     """
 
     def __init__(self, dataset, grid, criterion='ELBO', validation_gdl=None,
@@ -159,9 +166,64 @@ class GridSearch:
         self.criterion = 'ELBO' if criterion == 'training_objective' else criterion
         self.validation_gdl = validation_gdl
         cls = model_class or VIPRSGrid
-        self.model = cls(dataset, grid, **model_kwargs)
+        self._simultaneous = isinstance(cls, type) and issubclass(cls, VIPRSGrid)
+        if self._simultaneous:
+            self.model = cls(dataset, grid, **model_kwargs)
+        else:
+            self.model = None
+            self._dataset = dataset
+            self._grid = grid
+            self._model_class = cls
+            self._model_kwargs = model_kwargs
+        self.validation_result = None
+
+    def _score(self, model):
+        if self.criterion == 'ELBO':
+            return float(model.objective())
+        if self.criterion == 'validation':
+            from ..eval.continuous import r2
+            prs = np.asarray(model.predict(test_gdl=self.validation_gdl)).reshape(-1)
+            return float(r2(self.validation_gdl.phenotype, prs))
+        return float(model.pseudo_validate(self.validation_gdl))
+
+    def _fit_pathwise(self, **fit_kwargs):
+        import pandas as pd
+
+        rows = self._grid.combine_grids()
+        fitted, scores = [], []
+        for i, row in enumerate(rows):
+            m = self._model_class(self._dataset, fix_params=dict(row),
+                                  **self._model_kwargs)
+            try:
+                m.fit(**fit_kwargs)
+                score = self._score(m)
+            except Exception as e:
+                # mirrors the reference worker's skip-on-failure semantics
+                # (HyperparameterSearch.py:50-53)
+                logger.warning("Grid row %d failed: %s", i, e)
+                m, score = None, -np.inf
+            fitted.append(m)
+            scores.append(score)
+
+        if not any(m is not None for m in fitted):
+            raise ValueError("No grid row produced a successfully fitted model.")
+
+        self.validation_result = pd.DataFrame(rows)
+        self.validation_result[
+            {'ELBO': 'ELBO', 'validation': 'Validation_R2',
+             'pseudo_validation': 'Pseudo_Validation_R2'}[self.criterion]
+        ] = scores
+        best_idx = int(np.argmax(np.nan_to_num(scores, nan=-np.inf)))
+        logger.info("> Based on the %s criterion, selected model: %d",
+                    self.criterion, best_idx)
+        self.model = fitted[best_idx]
+        return self.model
 
     def fit(self, **fit_kwargs):
+        if not self._simultaneous:
+            return self._fit_pathwise(**fit_kwargs)
         self.model.fit(**fit_kwargs)
-        return select_best_model(self.model, validation_gdl=self.validation_gdl,
+        best = select_best_model(self.model, validation_gdl=self.validation_gdl,
                                  criterion=self.criterion)
+        self.validation_result = self.model.validation_result
+        return best
