@@ -183,6 +183,67 @@ class TestMagenpyStore:
         np.testing.assert_array_equal(indptr2, indptr)
         np.testing.assert_array_equal(left2, left)
 
+    @pytest.mark.parametrize('at_root', [False, True])
+    def test_zip_archive_byte_exact(self, tmp_path, at_root):
+        """Zip-archived stores (the published chromosome-level UKB LD zips,
+        reference docs/download_ld.md) load identically to the directory
+        store — both root-level and single-top-directory archive layouts."""
+        import zipfile
+
+        blocks = _sim_blocks(sizes=(30, 20))
+        data, indptr, left = _banded_from_blocks(blocks, quantize=True)
+        m = len(indptr) - 1
+        snp_tab = pd.DataFrame({'SNP': [f'rs{i}' for i in range(m)],
+                                'A1': 'A', 'A2': 'G',
+                                'POS': np.arange(m) * 500})
+        store = str(tmp_path / 'chr_9')
+        ld_store.save_magenpy_zarr(store, data, indptr, left,
+                                   snp_table=snp_tab, chrom=9,
+                                   sample_size=4000)
+
+        zpath = str(tmp_path / 'chr_9.zip')
+        with zipfile.ZipFile(zpath, 'w') as zf:
+            for root, _, files in __import__('os').walk(store):
+                for f in files:
+                    full = __import__('os').path.join(root, f)
+                    rel = __import__('os').path.relpath(full, store)
+                    zf.write(full, rel if at_root else f'chr_9/{rel}')
+
+        banded_dir, tables_dir = ld_store.load_magenpy_zarr(store)
+        banded_zip, tables_zip = ld_store.load_magenpy_zarr(zpath)
+        assert list(banded_zip) == [9]
+        for a, b in zip(banded_dir[9], banded_zip[9]):
+            np.testing.assert_array_equal(a, b)
+        assert banded_zip[9][0].dtype == np.int8
+        pd.testing.assert_frame_equal(tables_dir[9], tables_zip[9])
+
+    def test_loader_accepts_zip_store(self, tmp_path):
+        """GWADataLoader consumes a zip-archived Zarr store directly."""
+        import zipfile
+        from viprs_tpu.data.loader import GWADataLoader
+
+        blocks = _sim_blocks(sizes=(25,))
+        data, indptr, left = _banded_from_blocks(blocks, quantize=True)
+        m = len(indptr) - 1
+        snp_tab = pd.DataFrame({'SNP': [f'rs{i}' for i in range(m)],
+                                'A1': 'A', 'A2': 'G',
+                                'POS': np.arange(m) * 500})
+        store = str(tmp_path / 'chr_7')
+        ld_store.save_magenpy_zarr(store, data, indptr, left,
+                                   snp_table=snp_tab, chrom=7,
+                                   sample_size=4000)
+        zpath = str(tmp_path / 'chr_7.zip')
+        with zipfile.ZipFile(zpath, 'w') as zf:
+            for root, _, files in __import__('os').walk(store):
+                for f in files:
+                    full = __import__('os').path.join(root, f)
+                    zf.write(full, __import__('os').path.relpath(full, store))
+
+        loader = GWADataLoader(ld_store_files=zpath)
+        assert 7 in loader.ld_blocks
+        assert loader.ld_snp_tables is not None
+        assert len(loader.ld_snp_tables[7]) == m
+
     def test_int16_dequantized(self, tmp_path):
         blocks = _sim_blocks(sizes=(25,))
         data, indptr, left = _banded_from_blocks(blocks, quantize=False)

@@ -16,7 +16,10 @@ Supported surface (everything magenpy-produced stores need):
   object-dtype string arrays via the numcodecs ``vlen-utf8`` / ``vlen-bytes``
   filter encoding;
 - C and F order, ``.`` and ``/`` dimension separators, missing chunks filled
-  with ``fill_value``, edge-chunk cropping.
+  with ``fill_value``, edge-chunk cropping;
+- stores: plain directories and **zip archives** (the layout of the published
+  chromosome-level UKB LD zips, reference docs/download_ld.md:20-55 — a Zarr
+  group either at the archive root or under one top-level directory).
 
 The writer exists so tests can build byte-real fixtures with the exact default
 zarr compressor (blosc/lz4/shuffle) and so native stores can be exported back
@@ -29,6 +32,7 @@ import json
 import os
 import os.path as osp
 import struct
+import threading
 import zlib
 
 import numpy as np
@@ -183,14 +187,129 @@ def _vlen_encode(items, utf8: bool) -> bytes:
     return b''.join(parts)
 
 
+# ------------------------------------------------------------------- stores
+class _FSStore:
+    """Key/value view of a plain directory (keys use ``/`` separators)."""
+
+    def __init__(self, root):
+        self.root = root
+
+    def _fp(self, key):
+        return osp.join(self.root, *key.split('/')) if key else self.root
+
+    def exists(self, key):
+        return osp.exists(self._fp(key))
+
+    def read(self, key):
+        fp = self._fp(key)
+        if not osp.exists(fp):
+            return None
+        with open(fp, 'rb') as f:
+            return f.read()
+
+    def children(self, prefix):
+        d = self._fp(prefix)
+        return sorted(os.listdir(d)) if osp.isdir(d) else []
+
+    def describe(self, key):
+        return self._fp(key)
+
+
+class _ZipStore:
+    """Key/value view of a Zarr group inside a zip archive (read-only).
+
+    The published UKB LD panels ship as chromosome-level zips of the
+    per-chromosome Zarr group (reference docs/download_ld.md). The group may
+    sit at the archive root or under a single top-level directory — detected
+    from the shallowest ``.zgroup``/``.zattrs``/``.zarray`` entry.
+    ``zipfile.ZipFile`` read handles are not thread-safe, so each reader
+    thread gets its own handle (the chunk reader fans out across threads).
+    """
+
+    def __init__(self, zip_path, prefix=None):
+        import zipfile
+        self.zip_path = zip_path
+        self._local = threading.local()
+        names = self._zf().namelist()
+        self._names = set(names)
+        if prefix is None:
+            markers = [n for n in names
+                       if n.rsplit('/', 1)[-1] in ('.zgroup', '.zattrs',
+                                                   '.zarray')]
+            if not markers:
+                raise ValueError(f"{zip_path}: no Zarr v2 metadata "
+                                 f"(.zgroup/.zattrs/.zarray) in the archive")
+            shallowest = min(markers, key=lambda n: n.count('/'))
+            prefix = shallowest.rsplit('/', 1)[0] if '/' in shallowest else ''
+        self.prefix = prefix
+        # directory index: parent key -> child names
+        self._dirs = {}
+        plen = len(prefix) + 1 if prefix else 0
+        for n in names:
+            rel = n[plen:] if prefix and n.startswith(prefix + '/') else \
+                (n if not prefix else None)
+            if not rel:
+                continue
+            parts = rel.rstrip('/').split('/')
+            for i in range(len(parts)):
+                self._dirs.setdefault('/'.join(parts[:i]), set()).add(parts[i])
+
+    def _zf(self):
+        import zipfile
+        zf = getattr(self._local, 'zf', None)
+        if zf is None:
+            zf = zipfile.ZipFile(self.zip_path, 'r')
+            self._local.zf = zf
+        return zf
+
+    def _full(self, key):
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    def exists(self, key):
+        full = self._full(key)
+        return full in self._names or full + '/' in self._names \
+            or key in self._dirs
+
+    def read(self, key):
+        full = self._full(key)
+        if full not in self._names:
+            return None
+        return self._zf().read(full)
+
+    def children(self, prefix):
+        return sorted(self._dirs.get(prefix, ()))
+
+    def describe(self, key):
+        return f"{self.zip_path}!{self._full(key)}"
+
+
+def _as_store(path_or_store):
+    if isinstance(path_or_store, (_FSStore, _ZipStore)):
+        return path_or_store
+    p = str(path_or_store)
+    if osp.isfile(p) and p.endswith('.zip'):
+        return _ZipStore(p)
+    return _FSStore(p)
+
+
+def _join(key, name):
+    return f"{key}/{name}" if key else str(name)
+
+
 # ------------------------------------------------------------------- arrays
 class ZarrArray:
-    """Read-only view of one Zarr v2 array directory."""
+    """Read-only view of one Zarr v2 array (directory or zip member)."""
 
-    def __init__(self, path):
-        self.path = path
-        with open(osp.join(path, '.zarray')) as f:
-            meta = json.load(f)
+    def __init__(self, path, key=None):
+        if key is None:
+            self.store, self.key = _as_store(path), ''
+        else:
+            self.store, self.key = path, key
+        self.path = self.store.describe(self.key)
+        raw = self.store.read(_join(self.key, '.zarray'))
+        if raw is None:
+            raise FileNotFoundError(f"{self.path}: no .zarray metadata")
+        meta = json.loads(raw)
         if meta.get('zarr_format') != 2:
             raise ValueError(f"{path}: not a Zarr v2 array "
                              f"(zarr_format={meta.get('zarr_format')!r})")
@@ -214,10 +333,9 @@ class ZarrArray:
                 raise ValueError(f"{path}: unsupported Zarr filter {fid!r}")
         self.dtype = np.dtype(object) if dt == '|O' else np.dtype(dt)
         self.attrs = {}
-        zattrs = osp.join(path, '.zattrs')
-        if osp.exists(zattrs):
-            with open(zattrs) as f:
-                self.attrs = json.load(f)
+        zattrs = self.store.read(_join(self.key, '.zattrs'))
+        if zattrs is not None:
+            self.attrs = json.loads(zattrs)
 
     @property
     def ndim(self):
@@ -228,12 +346,10 @@ class ZarrArray:
             or [1]
 
     def _read_chunk(self, idx):
-        key = self.sep.join(str(i) for i in idx) if idx else '0'
-        fp = osp.join(self.path, key)
-        if not osp.exists(fp):
+        ck = self.sep.join(str(i) for i in idx) if idx else '0'
+        raw = self.store.read(_join(self.key, ck))
+        if raw is None:
             return None
-        with open(fp, 'rb') as f:
-            raw = f.read()
         return _decompress(raw, self.compressor)
 
     def __getitem__(self, key):
@@ -298,57 +414,54 @@ class ZarrArray:
 
 
 class ZarrGroup:
-    """Read-only view of a Zarr v2 group directory (``'a/b'`` path access)."""
+    """Read-only view of a Zarr v2 group (``'a/b'`` path access) backed by a
+    directory or a zip archive."""
 
-    def __init__(self, path):
-        self.path = path
+    def __init__(self, path, key=None):
+        if key is None:
+            self.store, self.key = _as_store(path), ''
+        else:
+            self.store, self.key = path, key
+        self.path = self.store.describe(self.key)
         self.attrs = {}
-        zattrs = osp.join(path, '.zattrs')
-        if osp.exists(zattrs):
-            with open(zattrs) as f:
-                self.attrs = json.load(f)
+        zattrs = self.store.read(_join(self.key, '.zattrs'))
+        if zattrs is not None:
+            self.attrs = json.loads(zattrs)
 
     def _child(self, name):
-        return osp.join(self.path, *str(name).split('/'))
+        return _join(self.key, '/'.join(str(name).split('/')))
 
     def __contains__(self, name):
-        p = self._child(name)
-        return osp.exists(osp.join(p, '.zarray')) \
-            or osp.exists(osp.join(p, '.zgroup'))
+        k = self._child(name)
+        return self.store.exists(_join(k, '.zarray')) \
+            or self.store.exists(_join(k, '.zgroup'))
 
     def __getitem__(self, name):
-        p = self._child(name)
-        if osp.exists(osp.join(p, '.zarray')):
-            return ZarrArray(p)
-        if osp.exists(osp.join(p, '.zgroup')):
-            return ZarrGroup(p)
+        k = self._child(name)
+        if self.store.exists(_join(k, '.zarray')):
+            return ZarrArray(self.store, k)
+        if self.store.exists(_join(k, '.zgroup')):
+            return ZarrGroup(self.store, k)
         raise KeyError(f"No Zarr array/group named {name!r} under {self.path}")
 
     def array_keys(self):
-        out = []
-        if not osp.isdir(self.path):
-            return out
-        for name in sorted(os.listdir(self.path)):
-            if osp.exists(osp.join(self.path, name, '.zarray')):
-                out.append(name)
-        return out
+        return [n for n in self.store.children(self.key)
+                if self.store.exists(_join(_join(self.key, n), '.zarray'))]
 
     def group_keys(self):
-        out = []
-        if not osp.isdir(self.path):
-            return out
-        for name in sorted(os.listdir(self.path)):
-            if osp.exists(osp.join(self.path, name, '.zgroup')):
-                out.append(name)
-        return out
+        return [n for n in self.store.children(self.key)
+                if self.store.exists(_join(_join(self.key, n), '.zgroup'))]
 
 
 def open_group(path) -> ZarrGroup:
-    if not osp.isdir(path):
+    p = str(path)
+    if osp.isfile(p) and p.endswith('.zip'):
+        return ZarrGroup(_ZipStore(p), '')
+    if not osp.isdir(p):
         raise FileNotFoundError(f"Zarr store not found: {path}")
-    if not (osp.exists(osp.join(path, '.zgroup'))
-            or osp.exists(osp.join(path, '.zattrs'))
-            or osp.exists(osp.join(path, '.zarray'))):
+    if not (osp.exists(osp.join(p, '.zgroup'))
+            or osp.exists(osp.join(p, '.zattrs'))
+            or osp.exists(osp.join(p, '.zarray'))):
         raise ValueError(f"{path} does not look like a Zarr v2 store "
                          f"(no .zgroup/.zattrs/.zarray)")
     return ZarrGroup(path)

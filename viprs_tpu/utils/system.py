@@ -32,8 +32,48 @@ def is_path_writable(path):
     return os.access(target or '.', os.W_OK)
 
 
+def _expand_hf_path(path):
+    """Resolve an ``hf://`` path/wildcard (the reference's cloud-streamable LD
+    matrices, docs/download_ld.md:20-55) to local files via huggingface_hub.
+
+    Matching remote files are fetched into the local HF cache and their local
+    paths returned, so downstream readers (e.g. the zip-archive Zarr store
+    reader) operate on ordinary files.
+    """
+    try:
+        from huggingface_hub import HfFileSystem, hf_hub_download
+    except ImportError as e:
+        raise ImportError(
+            f"Reading {path} requires the `huggingface_hub` package "
+            f"(python -m pip install huggingface_hub).") from e
+
+    fs = HfFileSystem()
+    remote = sorted(fs.glob(path.removeprefix('hf://')))
+    if not remote:
+        remote = [path.removeprefix('hf://')]
+    local = []
+    for r in remote:
+        # hf paths look like datasets/<org>/<repo>/<file...>
+        parts = r.split('/')
+        if parts[0] in ('datasets', 'spaces'):
+            repo_id, fname = '/'.join(parts[1:3]), '/'.join(parts[3:])
+            repo_type = parts[0].rstrip('s')
+        else:
+            repo_id, fname = '/'.join(parts[:2]), '/'.join(parts[2:])
+            repo_type = 'model'
+        local.append(hf_hub_download(repo_id=repo_id, filename=fname,
+                                     repo_type=repo_type))
+    return local
+
+
 def get_filenames(path, extension=None):
-    """Expand a path or glob pattern (optionally filtering by extension)."""
+    """Expand a path or glob pattern (optionally filtering by extension).
+
+    ``hf://`` paths (Hugging Face datasets, e.g. the published UKB LD zips)
+    are downloaded to the local cache and returned as local paths.
+    """
+    if str(path).startswith('hf://'):
+        return _expand_hf_path(str(path))
     matches = sorted(_glob.glob(str(path)))
     if not matches and os.path.exists(path):
         matches = [path]
