@@ -160,3 +160,35 @@ def test_fit_mixture_model(pipeline_data):
     assert os.path.exists(out + '.fit.gz')
     hyp = pd.read_csv(out + '.hyp', sep="\t")
     assert any(hyp['Parameter'].str.startswith('pi_'))
+
+
+def test_internal_errors_surface_unmasked(pipeline_data):
+    """A bug inside model selection must surface as its own traceback, NOT be
+    swallowed by the automatic lambda_min retry — the retry is gated on the
+    reference's specific divergence signature (reference
+    bin/viprs_fit:509-521), not on a blanket except."""
+    tmp = pipeline_data['tmp']
+    out = str(tmp / 'unmask' / 'output')
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import viprs_tpu.gridsearch as gridsearch\n"
+        "def boom(*a, **k): raise ZeroDivisionError('deliberate-bug-sentinel')\n"
+        "gridsearch.select_best_model = boom\n"
+        "gridsearch.search.select_best_model = boom\n"
+        "import viprs_tpu.cli.fit as fit\n"
+        "sys.exit(fit.main())\n" % REPO
+    )
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, '-c', script,
+         '-l', pipeline_data['store'], '-s', pipeline_data['sumstats'],
+         '--output-file', out, '--block-size', '128',
+         '--hyp-search', 'GS', '--pi-steps', '4',
+         '--grid-metric', 'pseudo_validation',
+         '--max-iter', '50', '--seed', '7'],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+    assert res.returncode != 0
+    combined = res.stdout + res.stderr
+    assert 'deliberate-bug-sentinel' in combined and 'ZeroDivisionError' in combined
+    # and it must NOT have been re-routed through the divergence retry:
+    assert 'retrying with inferred' not in combined.lower()
