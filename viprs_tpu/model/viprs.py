@@ -625,12 +625,24 @@ class VIPRS(BayesPRSModel):
         # 8.1 s vs 15-18 s for the grid(100) workload, BENCH.md): with many
         # lanes the union activity gate keeps most blocks live, so the
         # block-skipping kernel pays its gather-DMA overhead for nothing.
-        # At S == 1 the block-skipping kernel wins: it streams only the LD
-        # blocks whose CAVI proposal still moves (a few percent after the
-        # early iterations, ~10x average sweep-cost reduction).
+        # At S == 1 the plain XLA tile loop wins at fit level (same-process
+        # A/B on the 1.1M headline workload: 1.58 s/112 iters vs 2.68 s/126
+        # for the block-skipping kernel — the activity gate stays near
+        # all-active for most iterations, where the skip kernel's gather-DMA
+        # compaction costs ~2x the straight stream; BENCH.md "Per-iteration
+        # accounting"). The skip kernel remains available via
+        # sweep_impl='skip' for low-activity regimes (warm restarts,
+        # continued fits).
         on_tpu = jax.default_backend() in ('tpu', 'axon')
-        use_pallas = (S >= 8 and on_tpu)
-        use_skip = (S == 1 and on_tpu)
+        sweep_impl = kwargs.pop('sweep_impl', None)
+        if sweep_impl is None:
+            use_pallas = (S >= 8 and on_tpu)
+            use_skip = False
+        else:
+            # explicit override of the measured dispatch policy (BENCH.md):
+            # 'xla' | 'skip' | 'pallas'
+            use_pallas = sweep_impl == 'pallas'
+            use_skip = sweep_impl == 'skip'
 
         init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
         if not continued or not self.history.get('ELBO'):
@@ -682,8 +694,11 @@ class VIPRS(BayesPRSModel):
                 init_elbo_in = init_elbo[sel_pad]
                 active_in = jnp.asarray(np.arange(S_run) < n_act)
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
-                run_pallas = (S_run >= 8 and on_tpu)
-                run_skip = (S_run == 1 and on_tpu)
+                if sweep_impl is None:
+                    run_pallas = (S_run >= 8 and on_tpu)
+                    run_skip = False
+                else:
+                    run_pallas, run_skip = use_pallas, use_skip
             else:
                 state_in, hyper_in = self._state, self._hyper_f32()
                 fix_in, counters_in = self._fix_mask, counters
