@@ -89,6 +89,26 @@ class TestVIPRS:
         assert len(m.history['pi']) == len(m.history['ELBO'])
         assert len(m.history['sigma_epsilon']) > 1
 
+    def test_sweep_impl_validation(self, dataset):
+        """A bad sweep_impl raises instead of silently falling through to the
+        default dispatch (ADVICE r2); Pallas impls raise a clear error off-TPU
+        instead of an opaque lowering failure."""
+        np.random.seed(3)
+        m = VIPRS(dataset)
+        with pytest.raises(ValueError, match="sweep_impl"):
+            m.fit(max_iter=2, sweep_impl='Skip')
+        with pytest.raises(ValueError, match="sweep_impl"):
+            m.fit(max_iter=2, sweep_impl='gather')
+        import jax
+        if jax.default_backend() not in ('tpu', 'axon'):
+            with pytest.raises(ValueError, match="backend"):
+                m.fit(max_iter=2, sweep_impl='skip')
+            with pytest.raises(ValueError, match="backend"):
+                m.fit(max_iter=2, sweep_impl='pallas')
+        # the explicit XLA impl works everywhere:
+        m.fit(max_iter=5, sweep_impl='xla')
+        assert m.optim_result.stop_iteration
+
     def test_chunked_equals_fused(self, dataset):
         """Tracking runs the SAME fused loop in chunks of 1; the carried
         convergence-ladder counters make the trajectory identical to a single

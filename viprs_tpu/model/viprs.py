@@ -601,6 +601,14 @@ class VIPRS(BayesPRSModel):
 
         The host handles restart-on-negative-MSE (re-initialize with
         sigma_epsilon fixed at 0.95, VIPRS.py:1025-1038).
+
+        :param sweep_impl: (keyword-only, via kwargs) override of the measured
+            kernel dispatch policy (BENCH.md "Kernel dispatch policy"). One of
+            ``None`` (default: XLA tile loop at S==1, batch Pallas at S>=8 on
+            TPU), ``'xla'`` (batched tile loop), ``'skip'`` (block-skipping
+            Pallas sweep — wins in low-activity regimes such as warm restarts
+            and ``continued=True`` fits), or ``'pallas'`` (batch Pallas sweep).
+            The Pallas impls require a TPU backend.
         """
         if not continued:
             self.initialize(theta_0, param_0)
@@ -635,6 +643,15 @@ class VIPRS(BayesPRSModel):
         # continued fits).
         on_tpu = jax.default_backend() in ('tpu', 'axon')
         sweep_impl = kwargs.pop('sweep_impl', None)
+        if sweep_impl not in (None, 'xla', 'skip', 'pallas'):
+            raise ValueError(
+                f"sweep_impl must be one of None, 'xla', 'skip', 'pallas'; "
+                f"got {sweep_impl!r}")
+        if sweep_impl in ('skip', 'pallas') and not on_tpu:
+            raise ValueError(
+                f"sweep_impl={sweep_impl!r} requests a Pallas TPU kernel, but "
+                f"the active JAX backend is {jax.default_backend()!r}; use "
+                f"sweep_impl='xla' (or None) off-TPU.")
         if sweep_impl is None:
             use_pallas = (S >= 8 and on_tpu)
             use_skip = False
