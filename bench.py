@@ -116,15 +116,25 @@ def main():
         f"message={model.optim_result.message}; h2={model.get_heritability():.4f}; "
         f"prop_causal={model.get_proportion_causal():.5f}")
 
-    # steady-state run (compilation cached):
-    np.random.seed(0)
-    t0 = time.time()
-    model2 = VIPRS(ds)
-    model2.fit(**fit_kwargs)
-    steady = time.time() - t0
-    n_iter = model2.optim_result.nit
-    log(f"steady-state fit: {steady:.2f}s over {n_iter} iterations "
-        f"({n_iter / steady:.1f} it/s genome-wide)")
+    # steady-state runs (compilation cached). The shared axon tunnel adds
+    # +/-2x run-to-run latency noise on a bad day, so the headline is the
+    # MEDIAN over repeats, with min/max reported alongside (VERDICT r2 #10).
+    n_rep = int(sys.argv[sys.argv.index('--reps') + 1]) \
+        if '--reps' in sys.argv else 3
+    times, iters = [], []
+    model2 = None
+    for rep in range(n_rep):
+        np.random.seed(0)
+        t0 = time.time()
+        model2 = VIPRS(ds)
+        model2.fit(**fit_kwargs)
+        times.append(time.time() - t0)
+        iters.append(model2.optim_result.nit)
+        log(f"steady-state fit rep {rep + 1}/{n_rep}: {times[-1]:.2f}s over "
+            f"{iters[-1]} iterations ({iters[-1] / times[-1]:.1f} it/s)")
+    steady = float(np.median(times))
+    log(f"steady-state fit: median {steady:.2f}s  min {min(times):.2f}s  "
+        f"max {max(times):.2f}s  iters {sorted(iters)}")
 
     assert model2.optim_result.valid_optim_result, model2.optim_result.message
 

@@ -162,6 +162,25 @@ def test_fit_mixture_model(pipeline_data):
     assert any(hyp['Parameter'].str.startswith('pi_'))
 
 
+def test_fit_mesh_flag_end_to_end(pipeline_data):
+    """--mesh auto (the default: 8 virtual devices on the 'blocks' axis here)
+    produces the same posterior as --mesh off at f32 tolerance, end-to-end
+    through the CLI — the product multi-chip path (the TPU-native analog of
+    the reference's --n-jobs fan-out, bin/viprs_fit:1079-1086)."""
+    tmp = pipeline_data['tmp']
+    out_off = str(tmp / 'mesh_off' / 'output')
+    out_auto = str(tmp / 'mesh_auto' / 'output')
+    common = ['-l', pipeline_data['store'], '-s', pipeline_data['sumstats'],
+              '--block-size', '128', '--max-iter', '200', '--seed', '7']
+    _run(['bin/viprs_fit', '--output-file', out_off, '--mesh', 'off'] + common)
+    _run(['bin/viprs_fit', '--output-file', out_auto, '--mesh', 'auto'] + common)
+    t_off = pd.read_csv(out_off + '.fit.gz', sep="\t")
+    t_auto = pd.read_csv(out_auto + '.fit.gz', sep="\t")
+    assert (t_off['SNP'] == t_auto['SNP']).all()
+    np.testing.assert_allclose(t_auto['BETA'], t_off['BETA'], atol=5e-4)
+    np.testing.assert_allclose(t_auto['PIP'], t_off['PIP'], atol=1e-2)
+
+
 def test_internal_errors_surface_unmasked(pipeline_data):
     """A bug inside model selection must surface as its own traceback, NOT be
     swallowed by the automatic lambda_min retry — the retry is gated on the

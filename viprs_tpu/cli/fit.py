@@ -139,7 +139,15 @@ def build_parser():
                         help="Accepted for compatibility; TPU execution ignores it.")
     parser.add_argument('--n-jobs', dest='n_jobs', type=int, default=1,
                         help="Accepted for compatibility; chromosomes are fit "
-                             "jointly on TPU.")
+                             "jointly on TPU (see --mesh for the TPU-native "
+                             "parallelism knob).")
+    parser.add_argument('--mesh', dest='mesh', default='auto',
+                        help="Multi-device placement: 'auto' (default: shard "
+                             "LD blocks over all visible devices), 'off' "
+                             "(single device), or explicit '<NB>x<NG>' "
+                             "('blocks' x 'grid') axis sizes. The TPU-native "
+                             "replacement for the reference's --n-jobs "
+                             "process fan-out.")
     parser.add_argument('--genomewide', dest='genomewide', action='store_true',
                         help="Accepted for compatibility (always genome-wide).")
     parser.add_argument('--backend', dest='backend', default='xarray',
@@ -270,7 +278,8 @@ def prepare_model(args, dataset):
         lam = float(lam)
 
     common = dict(fix_params=fix_params, lambda_min=lam,
-                  float_precision=args.float_precision)
+                  float_precision=args.float_precision,
+                  mesh=getattr(args, 'mesh', 'auto'))
 
     if args.model == 'VIPRS':
         return VIPRS(dataset, **common)
@@ -278,7 +287,8 @@ def prepare_model(args, dataset):
         common.pop('float_precision', None)
         return VIPRSMix(dataset, K=args.n_components,
                         fix_params=fix_params,
-                        lambda_min=None if lam == 'infer' else lam)
+                        lambda_min=None if lam == 'infer' else lam,
+                        mesh=getattr(args, 'mesh', 'auto'))
 
     from ..data.ldsc import simple_ldsc
     try:

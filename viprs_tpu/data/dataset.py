@@ -39,6 +39,8 @@ class SummaryStatsDataset:
     snp_table: Optional[Dict] = None
     ld_scores: Optional[Dict] = None
     phenotype_likelihood: str = 'gaussian'
+    _mesh_ld_cache: Dict = dataclasses.field(default_factory=dict, repr=False,
+                                             compare=False)
 
     # ------------------------------------------------------------------ props
     @property
@@ -71,6 +73,20 @@ class SummaryStatsDataset:
         return jnp.asarray(
             self.layout.to_flat(self.n_per_snp).reshape(self.layout.nb, self.layout.block_size),
             dtype=jnp.float32)
+
+    def ld_for_mesh(self, mesh):
+        """Block-sharded (and NB-padded) view of the LD for a device mesh.
+
+        Cached per mesh so that several models over the same dataset (e.g. the
+        CLI's EM fit followed by a grid search) share one HBM-resident copy —
+        the genome-scale LD store is GBs.
+        """
+        if mesh is None:
+            return self.ld
+        if mesh not in self._mesh_ld_cache:
+            from ..parallel.mesh import shard_ld
+            self._mesh_ld_cache[mesh] = shard_ld(mesh, self.ld)
+        return self._mesh_ld_cache[mesh]
 
     # ------------------------------------------------------------ constructors
     @classmethod

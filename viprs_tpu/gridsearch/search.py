@@ -126,7 +126,7 @@ def bayesian_model_average(viprs_grid_model, normalization='softmax'):
     lam = float(np.atleast_1d(viprs_grid_model._hyper.lambda_min)[keep[0]])
     new_state, pi_j, tau_j, sg_j, se_j = _bma(
         st, jnp.asarray(w_full), var_tau_dev, viprs_grid_model._std_beta_flat,
-        viprs_grid_model.dataset.ld.mask, lam)
+        viprs_grid_model._ld.mask, lam)
 
     pi_new = float(np.asarray(pi_j))
     tau_beta_new = float(np.asarray(tau_j))

@@ -51,6 +51,18 @@ class BayesPRSModel:
         self._post_mean_beta = None
         self._post_var_beta = None
 
+    def _mesh_context(self):
+        """Context manager activating this model's device mesh for jitted
+        calls (no-op for single-device models / models without a mesh)."""
+        import contextlib
+        mesh = getattr(self, 'mesh', None)
+        if mesh is None:
+            return contextlib.nullcontext()
+        import jax
+        if hasattr(jax.sharding, 'use_mesh'):
+            return jax.sharding.use_mesh(mesh)
+        return mesh
+
     # --------------------------------------------------------------- properties
     # pip / post_mean_beta / post_var_beta are lazy: fits keep the posterior
     # on device and materialize host copies on first access (one fused device

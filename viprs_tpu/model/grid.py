@@ -178,7 +178,7 @@ class VIPRSGrid(VIPRS):
                          for f in self._hyper._fields))
             f1 = FixMask(*(jnp.asarray(np.asarray(x)[s:s + 1])
                            for x in self._fix_mask))
-            res = em.em_fit(self.dataset.ld, st, self._std_beta_flat, self._n_flat,
+            res = em.em_fit(self._ld, st, self._std_beta_flat, self._n_flat,
                             h1, f1, n_sample=float(self.n), m_total=float(self.m),
                             init_elbo=jnp.zeros(1, jnp.float64),
                             active0=jnp.ones(1, bool),

@@ -30,7 +30,7 @@ class VIPRSMix(BayesPRSModel):
 
     def __init__(self, dataset, K=1, prior_multipliers=None,
                  fix_params=None, float_precision='float32', tile=128,
-                 lambda_min=None, **kwargs):
+                 lambda_min=None, mesh='auto', **kwargs):
         super().__init__(dataset, float_precision=float_precision)
 
         assert K > 0
@@ -45,6 +45,13 @@ class VIPRSMix(BayesPRSModel):
         self.tile = tile
         self.lambda_min = float(lambda_min or 0.0)
 
+        from ..parallel.mesh import resolve_mesh
+        self.mesh = resolve_mesh(mesh)
+        if self.mesh is not None and self.mesh.shape['grid'] != 1:
+            raise ValueError("VIPRSMix shards over the 'blocks' axis only; "
+                             "use a mesh with grid-axis size 1.")
+        self._ld = self.dataset.ld_for_mesh(self.mesh)
+
         self._state = None
         self._hyper = None   # MixHyper in float64 numpy
         self._sigma_g = 0.0
@@ -52,10 +59,16 @@ class VIPRSMix(BayesPRSModel):
         self.history = {}
 
         lay = self.dataset.layout
-        self._std_beta_flat = jnp.asarray(
+        sb = jnp.asarray(
             lay.to_flat(self.std_beta).reshape(lay.nb, lay.block_size), F32)
-        self._n_flat = jnp.asarray(
+        nf = jnp.asarray(
             lay.to_flat(self.n_per_snp).reshape(lay.nb, lay.block_size), F32)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_flat
+            sb = shard_flat(self.mesh, sb, self._ld.nb)
+            nf = shard_flat(self.mesh, nf, self._ld.nb)
+        self._std_beta_flat = sb
+        self._n_flat = nf
 
     # ------------------------------------------------------------ initialization
     def initialize(self, theta_0=None, param_0=None):
@@ -117,15 +130,24 @@ class VIPRSMix(BayesPRSModel):
 
     def initialize_variational_parameters(self, param_0=None):
         lay = self.dataset.layout
-        nb, B = lay.nb, lay.block_size
+        nb, B = self._ld.nb, lay.block_size
         K = self.K
         pi = np.asarray(self._hyper.pi)
-        gamma = np.tile(pi[:, None, None].astype(np.float32), (1, nb, B))
-        self._state = MixState(
-            gamma=jnp.asarray(gamma),
-            mu=jnp.zeros((K, nb, B), F32),
-            eta=jnp.zeros((nb, B), F32),
-            q=jnp.zeros((nb, B), F32))
+        gamma = jnp.broadcast_to(
+            jnp.asarray(pi.astype(np.float32))[:, None, None], (K, nb, B))
+        mu = jnp.zeros((K, nb, B), F32)
+        eta = jnp.zeros((nb, B), F32)
+        q = jnp.zeros((nb, B), F32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh_k = NamedSharding(self.mesh, P(None, 'blocks', None))
+            sh_b = NamedSharding(self.mesh, P('blocks', None))
+            import jax
+            gamma = jax.device_put(gamma, sh_k)
+            mu = jax.device_put(mu, sh_k)
+            eta = jax.device_put(eta, sh_b)
+            q = jax.device_put(q, sh_b)
+        self._state = MixState(gamma=gamma, mu=mu, eta=eta, q=q)
 
     # -------------------------------------------------------------- accessors
     def _hyper_f32(self):
@@ -218,7 +240,7 @@ class VIPRSMix(BayesPRSModel):
             vt = mix_var_tau(self._n_flat, self._hyper_f32())
             stats = {k: np.asarray(v) for k, v in
                      mix_stats(self._state, vt, self._std_beta_flat,
-                               self.dataset.ld.mask).items()}
+                               self._ld.mask).items()}
         sig_e = float(h.sigma_eps)
         tau_b = np.asarray(h.tau_beta)
         pi = np.asarray(h.pi)
@@ -305,12 +327,12 @@ class VIPRSMix(BayesPRSModel):
         for i in range(1, max_iter + 1):
             h32 = self._hyper_f32()
             state, eta_diff = cavi_sweep_mixture(
-                self.dataset.ld, self._state, self._std_beta_flat, self._n_flat,
+                self._ld, self._state, self._std_beta_flat, self._n_flat,
                 h32, tile=self.tile)
             vt = mix_var_tau(self._n_flat, h32)
             stats = {k: np.asarray(v) for k, v in
                      mix_stats(state, vt, self._std_beta_flat,
-                               self.dataset.ld.mask).items()}
+                               self._ld.mask).items()}
             self._state = state
             self._m_step(stats)
 
@@ -409,14 +431,15 @@ class VIPRSMix(BayesPRSModel):
         restarts = 0
         while True:
             init_elbo = jnp.asarray(self.elbo(), jnp.float64)
-            res = mix_em_fit(
-                self.dataset.ld, self._state, self._std_beta_flat,
-                self._n_flat, self._hyper_f32(), self._mix_fix(),
-                jnp.asarray(self.d, jnp.float32),
-                n_sample=float(self.n), m_total=float(self.m),
-                init_elbo=init_elbo, max_iter=max_iter, min_iter=min_iter,
-                f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
-                tile=self.tile, use_pallas=use_pallas, use_skip=use_skip)
+            with self._mesh_context():
+                res = mix_em_fit(
+                    self._ld, self._state, self._std_beta_flat,
+                    self._n_flat, self._hyper_f32(), self._mix_fix(),
+                    jnp.asarray(self.d, jnp.float32),
+                    n_sample=float(self.n), m_total=float(self.m),
+                    init_elbo=init_elbo, max_iter=max_iter, min_iter=min_iter,
+                    f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
+                    tile=self.tile, use_pallas=use_pallas, use_skip=use_skip)
 
             self._state = res.state
             self._hyper = MixHyper(

@@ -72,7 +72,8 @@ class VIPRS(BayesPRSModel):
                  low_memory=True,
                  dequantize_on_the_fly=False,
                  threads=1,
-                 tile=128):
+                 tile=128,
+                 mesh='auto'):
         """
         :param dataset: SummaryStatsDataset (or GWADataLoader) with blocked LD.
         :param fix_params: dict pinning hyperparameters out of the M-step
@@ -86,6 +87,13 @@ class VIPRS(BayesPRSModel):
         :param order, low_memory, dequantize_on_the_fly, threads: accepted for
             reference-API compatibility; see module docstring.
         :param tile: CAVI tile width (multiple of 128 on TPU).
+        :param mesh: multi-device placement — ``'auto'`` (default: shard LD
+            blocks over all visible devices when there is more than one),
+            ``'off'``/``None`` (single device), an explicit ``'<NB>x<NG>'``
+            axis-size string, or a ('blocks', 'grid') jax Mesh. The TPU-native
+            replacement for the reference CLI's ``--n-jobs`` process fan-out
+            (bin/viprs_fit:1079-1086); M-step/ELBO reductions become psums
+            over ICI inserted by GSPMD.
         """
         super().__init__(dataset, float_precision=float_precision)
 
@@ -93,6 +101,12 @@ class VIPRS(BayesPRSModel):
         self.tracked_params = tracked_params or []
         self.tile = tile
         self.threads = threads  # compatibility only
+
+        from ..parallel.mesh import resolve_mesh
+        self.mesh = resolve_mesh(mesh)
+        # The (possibly NB-padded, block-sharded) device LD this model computes
+        # against; dataset.ld stays the canonical single-device operator.
+        self._ld = self.dataset.ld_for_mesh(self.mesh)
 
         # lambda_min resolution (reference VIPRS.py:174-191):
         if lambda_min is None:
@@ -120,12 +134,19 @@ class VIPRS(BayesPRSModel):
     # ------------------------------------------------------------------ inputs
     def _refresh_inputs(self):
         """(Re)build the flat device inputs from the current std_beta/n_per_snp
-        dicts (these change under PUMAS splitting)."""
+        dicts (these change under PUMAS splitting). With a mesh, inputs are
+        padded to the sharded LD's NB and block-sharded alongside it."""
         lay = self.dataset.layout
-        self._std_beta_flat = jnp.asarray(
+        sb = jnp.asarray(
             lay.to_flat(self.std_beta).reshape(lay.nb, lay.block_size), F32)
-        self._n_flat = jnp.asarray(
+        nf = jnp.asarray(
             lay.to_flat(self.n_per_snp).reshape(lay.nb, lay.block_size), F32)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_flat
+            sb = shard_flat(self.mesh, sb, self._ld.nb)
+            nf = shard_flat(self.mesh, nf, self._ld.nb)
+        self._std_beta_flat = sb
+        self._n_flat = nf
 
     def infer_lambda_min(self):
         """Spectral regularizer: |min(0, smallest eigenvalue over LD blocks)|.
@@ -354,12 +375,29 @@ class VIPRS(BayesPRSModel):
                             jnp.float32), (S, nb, B))
         else:
             mu_j = jnp.zeros((S, nb, B), F32)
+
+        if self.mesh is not None:
+            # pad the NB axis to the sharded LD's width and place the state
+            # with ('grid', 'blocks') sharding before any device compute
+            # (padding lanes carry mask=0 and contribute nothing). The model
+            # axis shards over 'grid' only when it divides evenly; otherwise
+            # it is replicated (e.g. the S=1 post-selection refit on a 2D
+            # mesh) and only the blocks axis partitions the work:
+            from ..parallel.mesh import _pad_axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            nb = self._ld.nb
+            g_ax = self.mesh.shape['grid']
+            s_spec = 'grid' if (g_ax > 1 and S % g_ax == 0) else None
+            sh = NamedSharding(self.mesh, P(s_spec, 'blocks', None))
+            logits_j = jax.device_put(_pad_axis(logits_j, 1, nb), sh)
+            mu_j = jax.device_put(_pad_axis(mu_j, 1, nb), sh)
+
         if 'mu' in param_0 or 'gamma' in param_0:
-            eta = jax.nn.sigmoid(logits_j) * mu_j
-            q = compute_q(self.dataset.ld, eta)
+            eta = jax.nn.sigmoid(logits_j) * mu_j * self._ld.mask[None]
+            q = compute_q(self._ld, eta)
         else:
-            eta = jnp.zeros((S, nb, B), F32)
-            q = jnp.zeros((S, nb, B), F32)
+            eta = jnp.zeros_like(mu_j)
+            q = jnp.zeros_like(mu_j)
 
         self._state = CaviState(logits=logits_j, mu=mu_j, eta=eta, q=q)
 
@@ -371,7 +409,7 @@ class VIPRS(BayesPRSModel):
         """One CAVI e-step sweep over all variants (VIPRS.py:381-424)."""
         from ..ops.cavi_jax import cavi_sweep
         self._state, self._last_eta_diff = cavi_sweep(
-            self.dataset.ld, self._state, self._std_beta_flat, self._n_flat,
+            self._ld, self._state, self._std_beta_flat, self._n_flat,
             self._hyper_f32(), jnp.ones(self._S), tile=self.tile)
         return self
 
@@ -379,7 +417,7 @@ class VIPRS(BayesPRSModel):
         h32 = self._hyper_f32()
         var_tau = updates.compute_var_tau(self._n_flat, h32)
         return updates.collect_stats(self._state, var_tau,
-                                     self._std_beta_flat, self.dataset.ld.mask)
+                                     self._std_beta_flat, self._ld.mask)
 
     def m_step(self):
         """Closed-form hyperparameter updates (VIPRS.py:473-484), honoring
@@ -452,12 +490,12 @@ class VIPRS(BayesPRSModel):
     # ------------------------------------------------------------- diagnostics
     def _stats(self):
         return updates.stats_bundle(self._state, self._n_flat,
-                                    self._std_beta_flat, self.dataset.ld.mask,
+                                    self._std_beta_flat, self._ld.mask,
                                     self._hyper_f32())
 
     def elbo(self, sum_axis=None):
         e = _elbo_jit(self._state, self._n_flat, self._std_beta_flat,
-                      self.dataset.ld.mask, self._hyper_f32(),
+                      self._ld.mask, self._hyper_f32(),
                       jnp.asarray(self._fix_mask.sigma_eps),
                       jnp.asarray(np.atleast_1d(self._sigma_g)),
                       self.n, float(self.m))
@@ -691,6 +729,11 @@ class VIPRS(BayesPRSModel):
             # first use. (Compact only on a >=4x shrink so at most ~log4(S)
             # distinct widths ever compile.)
             bucket = min(S, 1 << max(0, int(np.ceil(np.log2(max(n_act, 1))))))
+            if self.mesh is not None:
+                # keep compacted widths divisible by the mesh 'grid' axis so
+                # lane-sharded runs stay evenly partitioned:
+                g_ax = self.mesh.shape['grid']
+                bucket = min(S, ((bucket + g_ax - 1) // g_ax) * g_ax)
             if bucket > S_run:          # restarts can re-activate lanes
                 S_run = bucket
             elif S >= 8 and bucket <= S_run // 4:
@@ -723,18 +766,19 @@ class VIPRS(BayesPRSModel):
                 sigma_g_in = np.atleast_1d(self._sigma_g)
                 run_pallas, run_skip = use_pallas, use_skip
 
-            res = em_loop.em_fit(
-                self.dataset.ld, state_in, self._std_beta_flat, self._n_flat,
-                hyper_in, fix_in,
-                n_sample=float(self.n), m_total=float(self.m),
-                init_elbo=jnp.asarray(init_elbo_in, F64),
-                active0=active_in,
-                max_iter=this_chunk, min_iter=min_iter,
-                f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
-                patience=patience, tile=self.tile,
-                use_pallas=run_pallas, use_skip=run_skip,
-                i0=it_done, counters0=counters_in,
-                sigma_g0=jnp.asarray(sigma_g_in, F64))
+            with self._mesh_context():
+                res = em_loop.em_fit(
+                    self._ld, state_in, self._std_beta_flat, self._n_flat,
+                    hyper_in, fix_in,
+                    n_sample=float(self.n), m_total=float(self.m),
+                    init_elbo=jnp.asarray(init_elbo_in, F64),
+                    active0=active_in,
+                    max_iter=this_chunk, min_iter=min_iter,
+                    f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
+                    patience=patience, tile=self.tile,
+                    use_pallas=run_pallas, use_skip=run_skip,
+                    i0=it_done, counters0=counters_in,
+                    sigma_g0=jnp.asarray(sigma_g_in, F64))
 
             if compact:
                 sel_j = jnp.asarray(sel)
@@ -933,7 +977,10 @@ class VIPRS(BayesPRSModel):
         r = jnp.asarray(
             lay.to_flat(self.validation_std_beta).reshape(lay.nb, lay.block_size),
             F32)
-        mask = self.dataset.ld.mask
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_flat
+            r = shard_flat(self.mesh, r, self._ld.nb)
+        mask = self._ld.mask
         eta = self._state.eta
         ldw = self._state.q + eta  # S.b with the cached q (pseudo_metrics.py:130-152)
         rb = updates.masked_sum(eta * r[None], mask)

@@ -39,6 +39,64 @@ def make_mesh(n_blocks_axis=None, n_grid_axis=1, devices=None):
     return Mesh(dev_array, ('blocks', 'grid'))
 
 
+def resolve_mesh(mesh='auto'):
+    """Resolve a user-facing mesh spec into a ('blocks', 'grid') Mesh or None.
+
+    This is the product knob replacing the reference CLI's ``--n-jobs``
+    process fan-out (bin/viprs_fit:1079-1086): on TPU the fan-out is array
+    sharding over the device mesh, not processes.
+
+    :param mesh: one of
+        - ``'auto'``: all visible devices on the ``blocks`` axis when there is
+          more than one device; ``None`` (single-device) otherwise;
+        - ``None`` / ``'off'`` / ``False``: single-device execution;
+        - a ``jax.sharding.Mesh`` with axes ('blocks', 'grid'): used as-is;
+        - a string ``'<NB>x<NG>'`` (e.g. ``'4x2'``): explicit axis sizes.
+    """
+    if mesh is None or mesh is False or mesh == 'off':
+        return None
+    if isinstance(mesh, Mesh):
+        assert set(mesh.axis_names) == {'blocks', 'grid'}, \
+            f"mesh must have axes ('blocks', 'grid'); got {mesh.axis_names}"
+        return mesh
+    if mesh == 'auto':
+        n = len(jax.devices())
+        return make_mesh(n, 1) if n > 1 else None
+    if isinstance(mesh, str) and 'x' in mesh:
+        nb_ax, g_ax = (int(v) for v in mesh.split('x', 1))
+        return make_mesh(nb_ax, g_ax)
+    raise ValueError(f"Cannot resolve mesh spec {mesh!r}; expected 'auto', "
+                     f"'off', '<NB>x<NG>', or a jax Mesh.")
+
+
+def shard_ld(mesh: Mesh, ld: BlockLD) -> BlockLD:
+    """Pad the NB axis to the mesh's blocks-axis size and place the LD tiles
+    block-sharded (coupling tiles are few and stay replicated)."""
+    ld = pad_blocks(ld, mesh.shape['blocks'])
+    sh = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+    return BlockLD(
+        diag=jax.device_put(ld.diag, sh(P('blocks', None, None))),
+        off_data=jax.device_put(ld.off_data, sh(P(None, None, None))),
+        off_src=jax.device_put(ld.off_src, sh(P(None))),
+        off_dst=jax.device_put(ld.off_dst, sh(P(None))),
+        mask=jax.device_put(ld.mask, sh(P('blocks', None))),
+        scale=ld.scale)
+
+
+def shard_flat(mesh: Mesh, x, target_nb: int):
+    """Pad an (NB, B) per-variant input to target_nb blocks and block-shard."""
+    x = _pad_axis(jnp.asarray(x), 0, target_nb)
+    return jax.device_put(x, NamedSharding(mesh, P('blocks', None)))
+
+
+def shard_state(mesh: Mesh, state: CaviState, target_nb: int) -> CaviState:
+    """Pad an (S, NB, B) CaviState to target_nb blocks and place it with
+    ('grid', 'blocks') sharding on the (S, NB) axes."""
+    state = CaviState(*(_pad_axis(jnp.asarray(x), 1, target_nb) for x in state))
+    sh = NamedSharding(mesh, P('grid', 'blocks', None))
+    return CaviState(*(jax.device_put(x, sh) for x in state))
+
+
 def pad_blocks(ld: BlockLD, multiple: int) -> BlockLD:
     """Pad the NB axis with empty blocks to a multiple (for even sharding)."""
     nb = ld.nb
@@ -73,31 +131,16 @@ def shard_problem(mesh: Mesh, ld: BlockLD, state: CaviState,
 
     :returns: (ld, state, std_beta, n_per_snp) device-placed.
     """
-    nb_mult = mesh.shape['blocks']
     s_mult = mesh.shape['grid']
 
-    ld = pad_blocks(ld, nb_mult)
+    ld = shard_ld(mesh, ld)
     target_nb = ld.nb
     S = state.logits.shape[0]
     target_s = ((S + s_mult - 1) // s_mult) * s_mult
 
-    state = CaviState(*(_pad_axis(_pad_axis(x, 1, target_nb), 0, target_s)
-                        for x in state))
-    std_beta = _pad_axis(std_beta, 0, target_nb)
-    n_per_snp = _pad_axis(n_per_snp, 0, target_nb)
-
-    sh = lambda spec: NamedSharding(mesh, spec)
-    ld = BlockLD(
-        diag=jax.device_put(ld.diag, sh(P('blocks', None, None))),
-        # coupling tiles are few; replicate them (and their indices):
-        off_data=jax.device_put(ld.off_data, sh(P(None, None, None))),
-        off_src=jax.device_put(ld.off_src, sh(P(None))),
-        off_dst=jax.device_put(ld.off_dst, sh(P(None))),
-        mask=jax.device_put(ld.mask, sh(P('blocks', None))),
-        scale=ld.scale)
-    state = CaviState(*(jax.device_put(x, sh(P('grid', 'blocks', None)))
-                        for x in state))
-    std_beta = jax.device_put(std_beta, sh(P('blocks', None)))
-    n_per_snp = jax.device_put(n_per_snp, sh(P('blocks', None)))
+    state = CaviState(*(_pad_axis(x, 0, target_s) for x in state))
+    state = shard_state(mesh, state, target_nb)
+    std_beta = shard_flat(mesh, std_beta, target_nb)
+    n_per_snp = shard_flat(mesh, n_per_snp, target_nb)
 
     return ld, state, std_beta, n_per_snp
