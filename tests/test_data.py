@@ -244,6 +244,86 @@ class TestLoader:
         m.fit(max_iter=100)
         assert m.optim_result.stop_iteration
 
+    def test_pack_cache_roundtrip(self, tmp_path, monkeypatch):
+        """Second loader on the same panel hits the packed-LD disk cache:
+        the dataset matches byte-exact and the LD store data is NEVER read
+        (the lazy loader touches only the variant tables)."""
+        prefix, dosages, bim, fam, y = _make_bed(tmp_path, n=400, m=120)
+        g = GenotypeMatrix(prefix)
+        ss = g.perform_gwas(y)
+        ss_file = tmp_path / 'sumstats.txt'
+        ss.table.to_csv(ss_file, sep="\t", index=False)
+        loader0 = GWADataLoader(bed_files=prefix)
+        loader0.compute_ld(estimator='block', max_block_size=50)
+        store = str(tmp_path / 'ld')
+        ld_store.save_ld_store(store, loader0.ld_blocks, loader0.ld_snp_tables,
+                               quantize=True)
+
+        monkeypatch.setenv('VIPRS_TPU_PACK_CACHE', str(tmp_path / 'pcache'))
+
+        loader1 = GWADataLoader(ld_store_files=store,
+                                sumstats_files=str(ss_file), block_size=128,
+                                quantize_ld=True)
+        ds1 = loader1.to_summary_dataset()   # miss -> pack + save
+
+        # fresh loader: cache hit; poison the block-materialization path to
+        # prove the LD data is never decompressed again:
+        loader2 = GWADataLoader(ld_store_files=store,
+                                sumstats_files=str(ss_file), block_size=128,
+                                quantize_ld=True)
+        monkeypatch.setattr(
+            GWADataLoader, '_ensure_ld_blocks',
+            lambda self: (_ for _ in ()).throw(
+                AssertionError("cache hit must not materialize LD blocks")))
+        ds2 = loader2.to_summary_dataset()
+        np.testing.assert_array_equal(np.asarray(ds1.ld.diag),
+                                      np.asarray(ds2.ld.diag))
+        np.testing.assert_array_equal(np.asarray(ds1.ld.mask),
+                                      np.asarray(ds2.ld.mask))
+        assert ds1.layout.chromosomes == ds2.layout.chromosomes
+        np.testing.assert_array_equal(ds1.layout.flat_index,
+                                      ds2.layout.flat_index)
+
+        # fits from both datasets agree:
+        from viprs_tpu.model import VIPRS
+        np.random.seed(0)
+        m1 = VIPRS(ds1); m1.fit(max_iter=60)
+        np.random.seed(0)
+        m2 = VIPRS(ds2); m2.fit(max_iter=60)
+        assert m1.optim_result.nit == m2.optim_result.nit
+        np.testing.assert_allclose(m1.history['ELBO'], m2.history['ELBO'],
+                                   rtol=1e-12)
+
+    def test_pack_cache_invalidation(self, tmp_path, monkeypatch):
+        """Touching the store or changing the variant subset changes the key."""
+        from viprs_tpu.data import pack_cache
+        prefix, dosages, bim, fam, y = _make_bed(tmp_path, n=300, m=80)
+        g = GenotypeMatrix(prefix)
+        ss = g.perform_gwas(y)
+        ss_file = tmp_path / 'sumstats.txt'
+        ss.table.to_csv(ss_file, sep="\t", index=False)
+        loader0 = GWADataLoader(bed_files=prefix)
+        loader0.compute_ld(estimator='block', max_block_size=40)
+        store = str(tmp_path / 'ld')
+        ld_store.save_ld_store(store, loader0.ld_blocks, loader0.ld_snp_tables)
+
+        snps = {21: np.array([f'rs{i}' for i in range(80)])}
+        k1 = pack_cache.compute_key([store], snps, 128, True)
+        assert k1 == pack_cache.compute_key([store], snps, 128, True)
+        assert k1 != pack_cache.compute_key([store], snps, 256, True)
+        assert k1 != pack_cache.compute_key([store], snps, 128, False)
+        snps2 = {21: snps[21][:-1]}
+        assert k1 != pack_cache.compute_key([store], snps2, 128, True)
+        import os, os.path as osp, time
+        time.sleep(0.01)
+        os.utime(osp.join(store, 'metadata.json'))
+        assert k1 != pack_cache.compute_key([store], snps, 128, True)
+
+        # disabled cache:
+        monkeypatch.setenv('VIPRS_TPU_PACK_CACHE', 'off')
+        assert pack_cache.cache_root() is None
+        assert pack_cache.load_packed('deadbeef') is None
+
     def test_harmonization_drops_and_flips(self, tmp_path):
         prefix, dosages, bim, fam, y = _make_bed(tmp_path, n=300, m=80)
         g = GenotypeMatrix(prefix)

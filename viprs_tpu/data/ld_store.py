@@ -53,10 +53,15 @@ def _parse_chrom(name):
         return c
 
 
-def load_ld_store(path, chromosomes=None):
+def load_ld_store(path, chromosomes=None, tables_only=False):
     """Load a native LD store.
 
-    :returns: (chrom_blocks {c: [float64 blocks]}, snp_tables {c: DataFrame} or None)
+    :param tables_only: read only the per-chromosome variant tables (cheap);
+        ``chrom_blocks`` comes back as None. Used by the lazy ingestion path —
+        harmonization needs tables only, and a pack-cache hit never touches
+        the LD data at all.
+    :returns: (chrom_blocks {c: [float64 blocks]} or None,
+               snp_tables {c: DataFrame} or None)
     """
     files = [f for f in os.listdir(path) if f.startswith('chr_') and f.endswith('.npz')]
     assert files, f"No LD store files found under {path}"
@@ -66,19 +71,20 @@ def load_ld_store(path, chromosomes=None):
         c = _parse_chrom(f)
         if chromosomes is not None and c not in chromosomes:
             continue
-        npz = np.load(osp.join(path, f))
-        blocks = []
-        for key in sorted(npz.files):
-            blk = npz[key]
-            if blk.dtype == np.int8:
-                blk = blk.astype(np.float64) / 127.0
-            blocks.append(np.asarray(blk, dtype=np.float64))
-        chrom_blocks[c] = blocks
+        if not tables_only:
+            npz = np.load(osp.join(path, f))
+            blocks = []
+            for key in sorted(npz.files):
+                blk = npz[key]
+                if blk.dtype == np.int8:
+                    blk = blk.astype(np.float64) / 127.0
+                blocks.append(np.asarray(blk, dtype=np.float64))
+            chrom_blocks[c] = blocks
         snp_path = osp.join(path, f.replace('.npz', '.snps.csv'))
         if osp.exists(snp_path):
             snp_tables[c] = pd.read_csv(snp_path)
 
-    return chrom_blocks, (snp_tables or None)
+    return (None if tables_only else chrom_blocks), (snp_tables or None)
 
 
 def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
@@ -145,6 +151,50 @@ def _read_meta_array(g, names):
         if key in g:
             return np.asarray(g[key][...])
     return None
+
+
+def load_magenpy_zarr_tables(path):
+    """Read ONLY the variant metadata of a magenpy Zarr LD store (cheap: the
+    metadata arrays are a few MB; ``matrix/data`` — the GB-scale banded LD —
+    is never opened). Returns ``snp_tables`` as in :func:`load_magenpy_zarr`.
+    """
+    from . import zarr_v2
+
+    g = zarr_v2.open_group(path)
+    if 'matrix/data' not in g or 'matrix/indptr' not in g:
+        raise ValueError(
+            f"{path}: not a magenpy LD store (missing matrix/data or "
+            f"matrix/indptr Zarr arrays).")
+    attrs = dict(g.attrs)
+    chrom = attrs.get('Chromosome', 0)
+    try:
+        chrom = int(chrom)
+    except (TypeError, ValueError):
+        pass
+    snps = _read_meta_array(g, ('snps', 'snp', 'SNP'))
+    if snps is None:
+        return None
+    return {chrom: _zarr_snp_table(g, chrom, np.asarray(snps))}
+
+
+def _zarr_snp_table(g, chrom, snps):
+    m = len(snps)
+    a1 = _read_meta_array(g, ('a1', 'A1'))
+    a2 = _read_meta_array(g, ('a2', 'A2'))
+    bp = _read_meta_array(g, ('bp', 'BP', 'pos'))
+    tab = {'CHR': chrom, 'SNP': snps.astype(str),
+           'POS': (np.asarray(bp, dtype=np.int64) if bp is not None
+                   else np.arange(m, dtype=np.int64))}
+    if a1 is not None:
+        tab['A1'] = np.asarray(a1).astype(str)
+    if a2 is not None:
+        tab['A2'] = np.asarray(a2).astype(str)
+    for extra in ('maf', 'cm', 'ldscore'):
+        vals = _read_meta_array(g, (extra,))
+        if vals is not None:
+            tab[extra.upper() if extra != 'ldscore' else 'LDSCORE'] = \
+                np.asarray(vals)
+    return pd.DataFrame(tab)
 
 
 def load_magenpy_zarr(path):
@@ -242,22 +292,7 @@ def load_magenpy_zarr(path):
     snps = _read_meta_array(g, ('snps', 'snp', 'SNP'))
     snp_tables = None
     if snps is not None:
-        a1 = _read_meta_array(g, ('a1', 'A1'))
-        a2 = _read_meta_array(g, ('a2', 'A2'))
-        bp = _read_meta_array(g, ('bp', 'BP', 'pos'))
-        tab = {'CHR': chrom, 'SNP': np.asarray(snps).astype(str),
-               'POS': (np.asarray(bp, dtype=np.int64) if bp is not None
-                       else np.arange(m, dtype=np.int64))}
-        if a1 is not None:
-            tab['A1'] = np.asarray(a1).astype(str)
-        if a2 is not None:
-            tab['A2'] = np.asarray(a2).astype(str)
-        for extra in ('maf', 'cm', 'ldscore'):
-            vals = _read_meta_array(g, (extra,))
-            if vals is not None:
-                tab[extra.upper() if extra != 'ldscore' else 'LDSCORE'] = \
-                    np.asarray(vals)
-        snp_tables = {chrom: pd.DataFrame(tab)}
+        snp_tables = {chrom: _zarr_snp_table(g, chrom, np.asarray(snps))}
 
     return {chrom: (data, indptr, left_bound)}, snp_tables
 

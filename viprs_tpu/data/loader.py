@@ -86,28 +86,53 @@ class GWADataLoader:
                                            extract_snps=extract_snps)
 
         # ---------------- LD store ----------------
+        # LD data loads LAZILY: construction reads only the (small) variant
+        # tables; the GB-scale LD data is read on first use — and never at
+        # all when the packed-BlockLD disk cache hits (data/pack_cache.py).
         self.ld_blocks = None
         self.ld_snp_tables = None
+        self._ld_sources = None      # [(kind, path)] for lazy loads + cache key
+        self._ld_present = None      # {chrom: bool mask in STORE order}
         if ld_store_files:
             stores = get_filenames(ld_store_files)
-            self.ld_blocks, self.ld_snp_tables = {}, {}
+            self.ld_snp_tables = {}
+            self._ld_sources = []
+            eager_blocks = {}
             for store in stores:
                 if not osp.exists(store):
                     raise FileNotFoundError(f"LD store not found: {store}")
                 if osp.isdir(store) and any(
                         f.startswith('chr_') for f in __import__('os').listdir(store)):
-                    blocks, tables = ld_store_mod.load_ld_store(store)
-                    self.ld_blocks.update(blocks)
+                    _, tables = ld_store_mod.load_ld_store(store,
+                                                           tables_only=True)
                     if tables:
                         self.ld_snp_tables.update(tables)
+                        self._ld_sources.append(('native', store))
+                    else:
+                        # store without variant tables: nothing to harmonize
+                        # against lazily; load the blocks now.
+                        blocks, _ = ld_store_mod.load_ld_store(store)
+                        eager_blocks.update(blocks)
                 else:
                     # magenpy Zarr store (the published UKB panels' format):
-                    banded, tables = ld_store_mod.load_magenpy_zarr(store)
-                    for c, (data, indptr, left) in banded.items():
-                        self.ld_blocks[c] = ld_store_mod.banded_to_blocks(
-                            data, indptr, left)
+                    tables = ld_store_mod.load_magenpy_zarr_tables(store)
                     if tables:
                         self.ld_snp_tables.update(tables)
+                        self._ld_sources.append(('zarr', store))
+                    else:
+                        banded, _ = ld_store_mod.load_magenpy_zarr(store)
+                        for c, (data, indptr, left) in banded.items():
+                            eager_blocks[c] = ld_store_mod.banded_to_blocks(
+                                data, indptr, left)
+            if eager_blocks and self._ld_sources:
+                # mixed table-less + tabled stores: fall back to fully eager
+                # (the lazy/cache path assumes every block is re-derivable
+                # from recorded sources).
+                for kind, store in self._ld_sources:
+                    eager_blocks.update(self._load_source_blocks(kind, store))
+                self._ld_sources = []
+            if eager_blocks:
+                self.ld_blocks = eager_blocks
             if not self.ld_snp_tables:
                 self.ld_snp_tables = None
 
@@ -130,7 +155,8 @@ class GWADataLoader:
                                 phenotype_likelihood)
 
         self._dataset = None
-        if self._raw_sumstats is not None and self.ld_blocks is not None:
+        if self._raw_sumstats is not None and (
+                self._ld_blocks is not None or self._ld_sources):
             self.harmonize_data()
 
     # -------------------------------------------------------------- phenotype
@@ -192,7 +218,7 @@ class GWADataLoader:
     def perform_gwas(self, **kwargs):
         assert self.genotype is not None and self.phenotype is not None
         self._raw_sumstats = self.genotype.perform_gwas(self.phenotype, **kwargs)
-        if self.ld_blocks is not None:
+        if self._ld_blocks is not None or self._ld_sources:
             self.harmonize_data()
         return self._raw_sumstats
 
@@ -202,23 +228,88 @@ class GWADataLoader:
         tables = [read_sumstats(f, sumstats_format=sumstats_format, **kwargs).table
                   for f in files]
         self._raw_sumstats = SumstatsTable(pd.concat(tables, ignore_index=True))
-        if self.ld_blocks is not None:
+        if self._ld_blocks is not None or self._ld_sources:
             self.harmonize_data()
         return self._raw_sumstats
 
     # ------------------------------------------------------------ harmonization
+    # ------------------------------------------------------ lazy LD plumbing
+    @staticmethod
+    def _load_source_blocks(kind, store):
+        """Read the LD blocks of one recorded store source."""
+        if kind == 'native':
+            blocks, _ = ld_store_mod.load_ld_store(store)
+            return blocks
+        banded, _ = ld_store_mod.load_magenpy_zarr(store)
+        return {c: ld_store_mod.banded_to_blocks(data, indptr, left)
+                for c, (data, indptr, left) in banded.items()}
+
+    @staticmethod
+    def _slice_blocks(blocks, present):
+        """Filter a chromosome's block list to the ``present`` store-order
+        mask; returns (blocks, kept_row_indices)."""
+        out, kept_rows = [], []
+        offset = 0
+        for blk in blocks:
+            m_b = blk.shape[0]
+            sel = np.where(present[offset:offset + m_b])[0]
+            if len(sel):
+                out.append(np.ascontiguousarray(blk[np.ix_(sel, sel)]))
+                kept_rows.extend(offset + sel)
+            offset += m_b
+        return out, np.asarray(kept_rows, dtype=np.int64)
+
+    @property
+    def ld_blocks(self):
+        """Per-chromosome LD block lists; store-backed loaders materialize
+        them on first access (harmonization and pack-cache hits never do)."""
+        if self._ld_blocks is None and self._ld_sources:
+            self._ensure_ld_blocks()
+        return self._ld_blocks
+
+    @ld_blocks.setter
+    def ld_blocks(self, value):
+        self._ld_blocks = value
+
+    def _ensure_ld_blocks(self):
+        """Materialize the LD blocks from the recorded sources (lazy path),
+        applying any accumulated variant-subset masks."""
+        if self._ld_blocks is not None or not self._ld_sources:
+            return self._ld_blocks
+        chroms = set(self.ld_snp_tables or {})
+        blocks = {}
+        for kind, store in self._ld_sources:
+            for c, blks in self._load_source_blocks(kind, store).items():
+                if c in chroms or not chroms:
+                    blocks[c] = blks
+        if self._ld_present is not None:
+            sliced = {}
+            for c, blks in blocks.items():
+                if c not in self._ld_present:
+                    continue
+                sub, _ = self._slice_blocks(blks, self._ld_present[c])
+                if sub:
+                    sliced[c] = sub
+            blocks = sliced
+        self._ld_blocks = blocks
+        return self._ld_blocks
+
     def harmonize_data(self):
         """Intersect & allele-align summary statistics with the LD variant
         tables, filtering LD blocks to the common variants. The LD store's
-        variant order defines the block structure."""
+        variant order defines the block structure. Pure table work — the LD
+        data itself is only sliced when (and if) it materializes."""
         assert self._raw_sumstats is not None, "No summary statistics loaded."
-        assert self.ld_blocks is not None, "No LD data loaded."
         if self.ld_snp_tables is None:
             raise ValueError("The LD store has no variant tables; cannot harmonize.")
+        assert self._ld_blocks is not None or self._ld_sources, \
+            "No LD data loaded."
 
         ss = self._raw_sumstats.table
         self.sumstats_table = {}
         new_blocks, new_tables = {}, {}
+        lazy = self._ld_blocks is None
+        self._ld_present = {} if lazy else None
 
         for c, ld_tab in self.ld_snp_tables.items():
             merged = merge_snp_tables(ld_tab[['SNP', 'A1', 'A2']], ss, how='left',
@@ -226,22 +317,18 @@ class GWADataLoader:
                                                          ('BETA', 'Z') if col in ss.columns])
             present = merged['Z'].notna().values if 'Z' in merged.columns else \
                 merged['BETA'].notna().values
-
-            # filter LD blocks down to variants present in the sumstats:
-            blocks, kept_rows = [], []
-            offset = 0
-            for blk in self.ld_blocks[c]:
-                m_b = blk.shape[0]
-                sel = np.where(present[offset:offset + m_b])[0]
-                if len(sel):
-                    blocks.append(np.ascontiguousarray(blk[np.ix_(sel, sel)]))
-                    kept_rows.extend(offset + sel)
-                offset += m_b
-            if not blocks:
+            if not present.any():
                 continue
 
-            kept = np.asarray(kept_rows)
-            new_blocks[c] = blocks
+            if lazy:
+                self._ld_present[c] = present
+                kept = np.where(present)[0]
+            else:
+                blocks, kept = self._slice_blocks(self.ld_blocks[c], present)
+                if not blocks:
+                    continue
+                new_blocks[c] = blocks
+
             keep_tab = ld_tab.iloc[kept].reset_index(drop=True)
             if 'CHR' not in keep_tab.columns:
                 keep_tab.insert(0, 'CHR', c)
@@ -252,7 +339,8 @@ class GWADataLoader:
                              if 'POS' in keep_tab.columns else np.arange(len(sub)))
             self.sumstats_table[c] = SumstatsTable(sub)
 
-        self.ld_blocks = new_blocks
+        if not lazy:
+            self._ld_blocks = new_blocks
         self.ld_snp_tables = new_tables
         self._dataset = None
         return self
@@ -260,21 +348,27 @@ class GWADataLoader:
     def filter_snps(self, extract_snps, chromosome=None):
         """Subset to the given variants (reference GWADataLoader.filter_snps)."""
         snpset = set(extract_snps)
+        lazy = self._ld_blocks is None and self._ld_sources
         for c in list(self.ld_snp_tables or {}):
             if chromosome is not None and c != chromosome:
                 continue
             tab = self.ld_snp_tables[c]
-            present = tab['SNP'].isin(snpset).values
-            blocks, kept = [], []
-            offset = 0
-            for blk in self.ld_blocks[c]:
-                m_b = blk.shape[0]
-                sel = np.where(present[offset:offset + m_b])[0]
-                if len(sel):
-                    blocks.append(np.ascontiguousarray(blk[np.ix_(sel, sel)]))
-                    kept.extend(offset + sel)
-                offset += m_b
-            self.ld_blocks[c] = blocks
+            keep = tab['SNP'].isin(snpset).values
+            if lazy:
+                # compose into the store-order mask; the LD data is sliced
+                # once, at materialization:
+                if self._ld_present is None:
+                    self._ld_present = {}
+                if c in self._ld_present:
+                    mask = self._ld_present[c].copy()
+                    mask[np.where(mask)[0]] &= keep
+                    self._ld_present[c] = mask
+                else:
+                    self._ld_present[c] = keep.copy()
+                kept = np.where(keep)[0]
+            else:
+                blocks, kept = self._slice_blocks(self.ld_blocks[c], keep)
+                self.ld_blocks[c] = blocks
             self.ld_snp_tables[c] = tab.iloc[np.asarray(kept, int)].reset_index(drop=True)
             if self.sumstats_table and c in self.sumstats_table:
                 st = self.sumstats_table[c].table
@@ -396,11 +490,20 @@ class GWADataLoader:
 
     # ----------------------------------------------------------------- dataset
     def to_summary_dataset(self, block_size=None, quantize=None) -> SummaryStatsDataset:
-        """Pack the harmonized data into the device-facing dataset."""
+        """Pack the harmonized data into the device-facing dataset.
+
+        When the LD came from on-disk stores, the packed BlockLD is cached on
+        disk keyed on (store signature, kept-variant subset, block_size,
+        quantize) — repeated fits on the same panel skip ingestion + packing
+        entirely (data/pack_cache.py)."""
         if self._dataset is not None:
             return self._dataset
-        assert self.sumstats_table is not None and self.ld_blocks is not None, \
+        assert self.sumstats_table is not None and \
+            (self._ld_blocks is not None or self._ld_sources), \
             "Loader must have harmonized summary statistics and LD."
+
+        block_size = block_size or self.block_size
+        quantize = self.quantize_ld if quantize is None else quantize
 
         std_beta = {c: t.get_snp_pseudo_corr() for c, t in self.sumstats_table.items()}
         n_per_snp = {c: t.n_per_snp for c, t in self.sumstats_table.items()}
@@ -411,11 +514,34 @@ class GWADataLoader:
                 t.insert(0, 'CHR', c)
             snp_tables[c] = t
 
+        key = None
+        if self._ld_sources:
+            from . import pack_cache
+            if pack_cache.cache_root() is not None:
+                key = pack_cache.compute_key(
+                    [s for _, s in self._ld_sources],
+                    {c: t['SNP'].values for c, t in self.ld_snp_tables.items()},
+                    block_size, quantize)
+                hit = pack_cache.load_packed(key)
+                if hit is not None:
+                    logger.info("Packed-LD cache hit (%s...)", key[:12])
+                    ld, layout = hit
+                    self._dataset = SummaryStatsDataset(
+                        ld=ld, layout=layout, std_beta=std_beta,
+                        n_per_snp=n_per_snp, snp_table=snp_tables,
+                        phenotype_likelihood=self.phenotype_likelihood
+                        or 'gaussian')
+                    self._dataset._check_shapes()
+                    return self._dataset
+
+        self._ensure_ld_blocks()
         self._dataset = SummaryStatsDataset.from_dense_blocks(
             self.ld_blocks, std_beta, n_per_snp, snp_table=snp_tables,
-            block_size=block_size or self.block_size,
-            quantize=self.quantize_ld if quantize is None else quantize,
+            block_size=block_size, quantize=quantize,
             phenotype_likelihood=self.phenotype_likelihood or 'gaussian')
+        if key is not None:
+            from . import pack_cache
+            pack_cache.save_packed(key, self._dataset.ld, self._dataset.layout)
         return self._dataset
 
     # ------------------------------------------------------------------- misc
@@ -426,7 +552,10 @@ class GWADataLoader:
         for c in self.chromosomes:
             sub = GWADataLoader.__new__(GWADataLoader)
             sub.__dict__.update(self.__dict__)
-            sub.ld_blocks = {c: self.ld_blocks[c]} if self.ld_blocks else None
+            sub.ld_blocks = ({c: self._ld_blocks[c]}
+                             if self._ld_blocks else None)
+            if self._ld_present is not None and c in self._ld_present:
+                sub._ld_present = {c: self._ld_present[c]}
             sub.ld_snp_tables = {c: self.ld_snp_tables[c]} if self.ld_snp_tables else None
             sub.sumstats_table = ({c: self.sumstats_table[c]}
                                   if self.sumstats_table else None)

@@ -41,17 +41,40 @@ class _NativeLib:
         return getattr(self._cdll, name)
 
 
+def _try_autobuild(src_dir):
+    """Best-effort one-shot build of the native library (make -C native).
+
+    A fresh checkout has only the C++ source; the data-path kernels are worth
+    the ~2 s compile (OpenMP quantize/pack/decode are several times faster
+    than the NumPy fallbacks at genome scale). Failures are silent — the
+    fallbacks remain correct.
+    """
+    import subprocess
+    try:
+        subprocess.run(['make', '-C', src_dir, '-s'], timeout=120,
+                       capture_output=True, check=True)
+        return True
+    except Exception as e:  # noqa: BLE001 — any failure means "use fallback"
+        logger.debug("Native autobuild failed: %s", e)
+        return False
+
+
 def load_native():
-    """Load libviprs_native.so if built; returns None (with a debug log) otherwise."""
+    """Load libviprs_native.so, building it on first use if only the source is
+    present; returns None (with a debug log) when unavailable."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src_dir = os.path.join(here, 'native')
     candidates = [
-        os.path.join(here, 'native', 'libviprs_native.so'),
+        os.path.join(src_dir, 'libviprs_native.so'),
         os.path.join(os.path.dirname(__file__), 'libviprs_native.so'),
     ]
+    if not any(os.path.exists(p) for p in candidates) \
+            and os.path.exists(os.path.join(src_dir, 'Makefile')):
+        _try_autobuild(src_dir)
     for path in candidates:
         if os.path.exists(path):
             try:

@@ -699,9 +699,14 @@ class VIPRS(BayesPRSModel):
             use_pallas = sweep_impl == 'pallas'
             use_skip = sweep_impl == 'skip'
 
-        init_elbo = np.atleast_1d(np.asarray(self.elbo(), dtype=np.float64))
-        if not continued or not self.history.get('ELBO'):
-            self.history['ELBO'] = [init_elbo[0] if S == 1 else init_elbo]
+        # The initial objective (reference VIPRS.py:942) is computed IN-GRAPH
+        # by the first em_fit dispatch (init_elbo=None) — a fresh fit pays no
+        # separate ELBO dispatch + host round trip. History slot 0 is read
+        # back from the chunk's elbo_hist.
+        init_elbo = None
+        hist0_needed = not continued or not self.history.get('ELBO')
+        if hist0_needed:
+            self.history['ELBO'] = []
         self._track_iteration()
 
         counters = em_loop.init_counters(S)
@@ -729,6 +734,10 @@ class VIPRS(BayesPRSModel):
             # first use. (Compact only on a >=4x shrink so at most ~log4(S)
             # distinct widths ever compile.)
             bucket = min(S, 1 << max(0, int(np.ceil(np.log2(max(n_act, 1))))))
+            if init_elbo is None:
+                # initial objective not yet known (computed in-graph by this
+                # chunk); run full-width so no per-lane carry is needed:
+                bucket = S
             if self.mesh is not None:
                 # keep compacted widths divisible by the mesh 'grid' axis so
                 # lane-sharded runs stay evenly partitioned:
@@ -771,7 +780,8 @@ class VIPRS(BayesPRSModel):
                     self._ld, state_in, self._std_beta_flat, self._n_flat,
                     hyper_in, fix_in,
                     n_sample=float(self.n), m_total=float(self.m),
-                    init_elbo=jnp.asarray(init_elbo_in, F64),
+                    init_elbo=(None if init_elbo_in is None
+                               else jnp.asarray(init_elbo_in, F64)),
                     active0=active_in,
                     max_iter=this_chunk, min_iter=min_iter,
                     f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
@@ -820,16 +830,22 @@ class VIPRS(BayesPRSModel):
                     self.history['ELBO'].append(full_row)
                 init_elbo = fe
             else:
-                self._adopt_result(res)
                 counters = res.counters
                 # merge only lanes that entered this chunk active — finished
-                # lanes report nit=0 / RUNNING in later chunks (one batched
-                # device->host transfer; separate np.asarray pulls each pay
-                # the accelerator round trip):
-                status_np, nit_np, med_np, n_total_np, fe_np, hist_dev = \
-                    jax.device_get((res.status, res.nit, res.max_eta_diff,
-                                    res.n_iter_total, res.final_elbo,
-                                    res.elbo_hist))
+                # lanes report nit=0 / RUNNING in later chunks (ONE batched
+                # device->host transfer for everything the host needs,
+                # including the hyperparameters; separate pulls each pay the
+                # accelerator round trip):
+                (hyper_np, sg_np, status_np, nit_np, med_np, n_total_np,
+                 fe_np, hist_dev) = jax.device_get(
+                    (res.hyper, res.sigma_g, res.status, res.nit,
+                     res.max_eta_diff, res.n_iter_total, res.final_elbo,
+                     res.elbo_hist))
+                self._state = res.state
+                self._hyper = Hyper(*(np.asarray(x, dtype=np.float64)
+                                      for x in hyper_np))
+                self._sigma_g = np.asarray(sg_np, dtype=np.float64)
+                self._last_result = res
                 statuses = statuses.copy()
                 statuses[active_np] = status_np[active_np]
                 nit_acc[active_np] = nit_np[active_np]
@@ -838,7 +854,12 @@ class VIPRS(BayesPRSModel):
                 it_done += n_in_chunk
                 init_elbo = np.asarray(fe_np, dtype=np.float64)
 
-                hist = np.asarray(hist_dev)[1:n_in_chunk + 1]
+                hist = np.asarray(hist_dev)
+                if hist0_needed:
+                    self.history['ELBO'].append(
+                        hist[0][0] if S == 1 else hist[0].copy())
+                    hist0_needed = False
+                hist = hist[1:n_in_chunk + 1]
                 self.history['ELBO'].extend(
                     [row[0] for row in hist] if S == 1 else list(hist))
             self._merged_result = em_loop.EMResult(
@@ -864,8 +885,9 @@ class VIPRS(BayesPRSModel):
                 logger.info("MSE is negative; restarting optimization with "
                             "sigma_epsilon fixed at 0.95 (reference behavior).")
                 self._restart_models(restart_mask, theta_0, param_0)
-                init_elbo = np.atleast_1d(np.asarray(self.elbo(),
-                                                     dtype=np.float64))
+                # the restarted state's objective is computed in-graph by the
+                # next chunk (init_elbo=None) — no host ELBO dispatch here:
+                init_elbo = None
                 fresh = em_loop.init_counters(S)
                 mask_dev = jnp.asarray(restart_mask)
                 counters = em_loop.EMCounters(
@@ -921,14 +943,6 @@ class VIPRS(BayesPRSModel):
                 def close(self):
                     pass
             return _LogBar(total)
-
-    def _adopt_result(self, res):
-        self._state = res.state
-        hyper_np, sigma_g_np = jax.device_get((res.hyper, res.sigma_g))
-        self._hyper = Hyper(*(np.asarray(x, dtype=np.float64)
-                              for x in hyper_np))
-        self._sigma_g = np.asarray(sigma_g_np, dtype=np.float64)
-        self._last_result = res
 
     def _restart_models(self, restart_mask, theta_0, param_0):
         """Re-initialize the masked models with sigma_epsilon fixed at 0.95."""

@@ -43,14 +43,21 @@ def compute_q_mix(ld: BlockLD, eta):
 
 
 def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
-                         hyper: MixHyper, scale, tile, n_tiles, inner_steps):
+                         hyper: MixHyper, scale, tile, n_tiles, inner_steps,
+                         active=None):
     """gamma_b/mu_b: (K, B); eta_b/q_b: (B,); D_b: (B, B).
 
     Tile-Gauss-Seidel with ``inner_steps`` tile-local fixed-point refinements
     (same scheme as the spike-and-slab kernel, ops/cavi_jax.py) — each inner
     pass recomputes the K-component updates from a tile-locally refreshed q.
+
+    ``active``: scalar f32 — 0 freezes the lane (the converged-model masking
+    of the batched grid path, the mixture analog of ``active_model_idx`` in
+    e_step_grid, e_step.hpp:606-634); values in (0, 1) act as extra damping.
     """
     K = gamma_b.shape[0]
+    act = F32(1.0) if active is None else active.astype(F32)
+    on = (act > 0.0).astype(F32)
     sig_e = hyper.sigma_eps
     tau_b = hyper.tau_beta[:, None]          # (K,1)
     lam = hyper.lambda_min
@@ -106,17 +113,17 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
             coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
                                preferred_element_type=F32)
             coupling = coupling - R_abs_diag * pip_star * mu_mult_max
-            w = (1.0 / (1.0 + coupling))[None, :]                  # (1,T)
+            w = (act / (1.0 + coupling))[None, :]                  # (1,T)
 
             g_cur = g_cur + w * (g_star - g_cur)
             mu_cur = mu_cur + w * (mu_star - mu_cur)
             eta_new = jnp.sum(g_cur * mu_cur, axis=0)
-            d_in = (eta_new - eta_cur) * mask_t
+            d_in = (eta_new - eta_cur) * mask_t * on
             q_cur = q_cur + jnp.dot(d_in[None, :], R_tt,
                                     preferred_element_type=F32)[0] - d_in
             eta_cur = eta_cur + d_in
 
-        d_t = (eta_cur - eta_t) * mask_t                           # (T,)
+        d_t = (eta_cur - eta_t) * mask_t * on                      # (T,)
 
         gamma_b = lax.dynamic_update_slice(gamma_b, g_cur, (0, idx))
         mu_b = lax.dynamic_update_slice(mu_b, mu_cur, (0, idx))
@@ -135,15 +142,54 @@ def _mix_block_tile_loop(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b,
 def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
                        hyper: MixHyper, tile: int = 128, inner_steps: int = 8):
     """One mixture-CAVI sweep. Returns (new_state, eta_diff)."""
-    B = ld.block_size
-    assert B % tile == 0
-    n_tiles = B // tile
+    assert ld.block_size % tile == 0
     eta0 = state.eta
+    new_state = _sweep_mixture_impl(ld, state, std_beta, n_per_snp, hyper,
+                                    None, tile, inner_steps)
+    return new_state, new_state.eta - eta0
+
+
+@partial(jax.jit, static_argnames=('tile', 'inner_steps'))
+def cavi_sweep_mixture_batch(ld: BlockLD, state: MixState, std_beta,
+                             n_per_snp, hyper: MixHyper, active,
+                             tile: int = 128, inner_steps: int = 8):
+    """Grid-batched mixture sweep: S hyperparameter settings advance
+    simultaneously (the mixture analog of the vmapped grid axis /
+    ``e_step_grid``, e_step.hpp:555-647).
+
+    State: gamma/mu (S, K, NB, B); eta/q (S, NB, B).
+    Hyper: sigma_eps/lambda_min (S,); tau_beta/pi (S, K).
+    active: (S,) f32 — converged-lane masking (0 freezes; <1 damps).
+    Returns (new_state, eta_diff) with eta_diff (S, NB, B).
+    """
+    eta0 = state.eta
+
+    def per_lane(gamma, mu, eta, q, hy, act):
+        st = MixState(gamma=gamma, mu=mu, eta=eta, q=q)
+        return _sweep_mixture_impl(ld, st, std_beta, n_per_snp, hy, act,
+                                   tile, inner_steps)
+
+    out = jax.vmap(per_lane, in_axes=(0, 0, 0, 0, 0, 0))(
+        state.gamma, state.mu, state.eta, state.q,
+        MixHyper(sigma_eps=hyper.sigma_eps, tau_beta=hyper.tau_beta,
+                 pi=hyper.pi, lambda_min=hyper.lambda_min),
+        active.astype(F32))
+    new_state = MixState(*out)
+    return new_state, new_state.eta - eta0
+
+
+def _sweep_mixture_impl(ld, state, std_beta, n_per_snp, hyper, active,
+                        tile, inner_steps):
+    """Single-lane mixture sweep body shared by the scalar and batched
+    entry points (returns a MixState)."""
+    B = ld.block_size
+    n_tiles = B // tile
 
     def per_block(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b):
         return _mix_block_tile_loop(D_b, beta_b, n_b, mask_b,
                                     gamma_b, mu_b, eta_b, q_b,
-                                    hyper, ld.scale, tile, n_tiles, inner_steps)
+                                    hyper, ld.scale, tile, n_tiles,
+                                    inner_steps, active=active)
 
     gamma, mu, eta, q = jax.vmap(
         per_block,
@@ -152,11 +198,10 @@ def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
     )(ld.diag, std_beta, n_per_snp, ld.mask, state.gamma, state.mu,
       state.eta, state.q)
 
-    eta_diff = eta - eta0
+    eta_diff = eta - state.eta
     if ld.n_off > 0:
         q = q + _off_contrib(ld, eta_diff[None])[0]
-
-    return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
+    return MixState(gamma=gamma, mu=mu, eta=eta, q=q)
 
 
 def mix_var_tau(n_per_snp, hyper: MixHyper):

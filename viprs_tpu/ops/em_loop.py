@@ -126,6 +126,8 @@ def em_fit(ld: BlockLD,
 
     :param init_elbo: (S,) f64 — ELBO of the initial state (history slot 0;
         reference appends the initial objective before iterating, VIPRS.py:942).
+        Pass ``None`` to compute it in-graph from ``state0`` — folds the
+        host-side "initial ELBO" dispatch of a fresh fit into this call.
     :param active0: (S,) bool — models to optimize (False lanes stay frozen).
     :param i0: global iteration offset (chunked runs: min_iter and nit are
         counted from the start of the whole optimization, not the chunk).
@@ -138,6 +140,17 @@ def em_fit(ld: BlockLD,
     mask = ld.mask
     i0 = jnp.asarray(i0, I32)
     ctr = counters0 if counters0 is not None else init_counters(S)
+    sigma_g_init = (jnp.zeros(S, F64) if sigma_g0 is None
+                    else jnp.asarray(sigma_g0, F64))
+
+    if init_elbo is None:
+        # in-graph initial objective (identical arithmetic to the host's
+        # _elbo_jit path: f32 hyperparameters, f64 reductions):
+        h32_0 = _hyper_f32(hyper0)
+        var_tau0 = updates.compute_var_tau(n_per_snp, h32_0)
+        stats0 = updates.collect_stats(state0, var_tau0, std_beta, mask)
+        init_elbo = updates.elbo(stats0, h32_0, fix.sigma_eps, sigma_g_init,
+                                 n_sample, m_total)
 
     elbo_hist = jnp.full((max_iter + 1, S), jnp.nan, dtype=F64)
     elbo_hist = elbo_hist.at[0].set(init_elbo)
@@ -145,8 +158,7 @@ def em_fit(ld: BlockLD,
     carry = EMCarry(
         state=state0,
         hyper=Hyper(*(x.astype(F64) for x in hyper0)),
-        sigma_g=(jnp.zeros(S, F64) if sigma_g0 is None
-                 else jnp.asarray(sigma_g0, F64)),
+        sigma_g=sigma_g_init,
         i=jnp.asarray(0, I32),
         active=active0.astype(bool),
         status=jnp.full(S, opt.RUNNING, I32),

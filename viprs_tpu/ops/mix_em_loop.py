@@ -1,8 +1,15 @@
-"""Fused on-device EM loop for the mixture-prior model (VIPRSMix).
+"""Fused on-device EM loops for the mixture-prior model (VIPRSMix).
 
 The mixture analog of ops/em_loop.py: one lax.while_loop runs
 [mixture sweep -> M-step (VIPRSMix.py:227-260) -> ELBO -> convergence ladder].
-Single model (no S axis; the reference does not combine mixture and grid)."""
+
+``mix_em_fit`` is the single-model loop; ``mix_em_fit_batch`` adds the grid
+axis S — the mixture counterpart of the vmapped grid fit (the reference fits
+any model class across grid rows in parallel processes,
+HyperparameterSearch.py:197-351) — with per-lane convergence masking AND the
+oscillation/stall damping-escalation ladder of ops/em_loop.py (whose absence
+is what let round-2's batched mixture kernel fall into an fp-order limit
+cycle)."""
 
 from functools import partial
 from typing import NamedTuple
@@ -206,3 +213,226 @@ def mix_em_fit(ld: BlockLD,
     return MixEMResult(state=c['state'], hyper=c['hyper'], sigma_g=c['sigma_g'],
                        status=status, nit=c['i'], elbo_hist=c['elbo_hist'],
                        final_elbo=c['prev_elbo'], final_mse=final_mse)
+
+
+# ---------------------------------------------------------------------------
+# Grid-batched mixture EM (S hyperparameter settings simultaneously)
+# ---------------------------------------------------------------------------
+
+class MixFixBatch(NamedTuple):
+    """Per-lane hyperparameter pinning for the batched loop."""
+    sigma_eps: jnp.ndarray   # (S,) bool
+    tau_betas: jnp.ndarray   # (S,) bool
+    pis: jnp.ndarray         # (S,) bool (pins the whole per-lane pi vector)
+    total_pi: jnp.ndarray    # (S,) f64; >0 => renormalize pi to this total
+
+
+class MixEMBatchResult(NamedTuple):
+    state: MixState          # (S, K, NB, B) / (S, NB, B)
+    hyper: MixHyper          # (S,) / (S, K) float64
+    sigma_g: jnp.ndarray     # (S,) f64
+    status: jnp.ndarray      # (S,) i32
+    nit: jnp.ndarray         # (S,) i32
+    elbo_hist: jnp.ndarray   # (max_iter+1, S) f64
+    n_iter_total: jnp.ndarray
+    final_elbo: jnp.ndarray  # (S,) f64
+    final_mse: jnp.ndarray   # (S,) f64
+
+
+def _mix_stats_batch(state: MixState, var_tau, std_beta, mask):
+    from .cavi_mix import mix_stats
+    return jax.vmap(lambda g, m, e, q, vt: mix_stats(
+        MixState(gamma=g, mu=m, eta=e, q=q), vt, std_beta, mask))(
+        state.gamma, state.mu, state.eta, state.q, var_tau)
+
+
+@partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter',
+                                   'inner_steps'))
+def mix_em_fit_batch(ld: BlockLD,
+                     state0: MixState,
+                     std_beta, n_per_snp,
+                     hyper0: MixHyper,
+                     fix: MixFixBatch,
+                     d_mult,
+                     n_sample,
+                     m_total,
+                     max_iter: int = 1000,
+                     min_iter: int = 3,
+                     f_abs_tol: float = 1e-6,
+                     x_abs_tol: float = 1e-6,
+                     patience: int = 10,
+                     tile: int = 128,
+                     inner_steps: int = 8):
+    """Fused grid-batched mixture EM: all S settings advance together with
+    converged-lane masking; the initial objective is computed in-graph.
+
+    ``hyper0``: sigma_eps/lambda_min (S,) f32, tau_beta/pi (S, K) f32.
+    ``d_mult``: (K,) prior-variance multipliers (shared across lanes).
+    """
+    from .cavi_mix import cavi_sweep_mixture_batch, mix_var_tau
+
+    S, K = hyper0.pi.shape
+    mask = ld.mask
+    d64 = d_mult.astype(F64)
+
+    def h32(h):
+        return MixHyper(*(x.astype(F32) for x in h))
+
+    def batch_var_tau(hy32):
+        return jax.vmap(lambda h: mix_var_tau(n_per_snp, h))(hy32)
+
+    def m_step_elbo(h, stats, active):
+        """Vectorized M-step + objectives; frozen lanes keep their values."""
+        act = active.astype(bool)
+        pi_est = stats['sum_gamma_k']                       # (S,K)
+        tot = pi_est.sum(axis=1, keepdims=True)
+        pi_renorm = fix.total_pi[:, None] * pi_est / tot
+        pi_free = pi_est / F64(m_total)
+        pi_new = jnp.where(fix.total_pi[:, None] > 0, pi_renorm, pi_free)
+        pi = jnp.where((fix.pis | ~act)[:, None], h.pi, pi_new)
+
+        tau_est = pi.sum(axis=1) * F64(m_total) \
+            / jnp.einsum('k,sk->s', d64, stats['sum_zeta_k'])
+        tau_new = jnp.clip(d64[None] * tau_est[:, None], 1.0, None)
+        tau_beta = jnp.where((fix.tau_betas | ~act)[:, None], h.tau_beta,
+                             tau_new)
+
+        lam = h.lambda_min
+        sigma_g = (1.0 + lam) * stats['sum_zeta_k'].sum(axis=1) \
+            + stats['sum_q_eta']
+        sig_e_new = 1.0 - 2.0 * stats['sum_beta_eta'] + sigma_g
+        sigma_eps = jnp.where(fix.sigma_eps | ~act, h.sigma_eps, sig_e_new)
+
+        hyper = MixHyper(sigma_eps=sigma_eps, tau_beta=tau_beta, pi=pi,
+                         lambda_min=lam)
+        elbo = jax.vmap(
+            lambda st, hy, fse, sg: _mix_elbo(st, hy, fse, sg, n_sample,
+                                              m_total, d64))(
+            stats, hyper, fix.sigma_eps, sigma_g)
+        mse = (1.0 - 2.0 * stats['sum_beta_eta'] + sigma_g
+               - stats['sum_zeta_k'].sum(axis=1) + stats['sum_eta_sq'])
+        return hyper, sigma_g, elbo, mse
+
+    hyper64 = MixHyper(*(x.astype(F64) for x in hyper0))
+
+    # in-graph initial objective (history slot 0):
+    hy0 = h32(hyper64)
+    vt0 = batch_var_tau(hy0)
+    stats0 = _mix_stats_batch(state0, vt0, std_beta, mask)
+    init_elbo = jax.vmap(
+        lambda st, hy, fse: _mix_elbo(st, hy, fse, jnp.asarray(0.0, F64),
+                                      n_sample, m_total, d64))(
+        stats0, hy0, fix.sigma_eps)
+
+    elbo_hist = jnp.full((max_iter + 1, S), jnp.nan, dtype=F64)
+    elbo_hist = elbo_hist.at[0].set(init_elbo)
+
+    carry = dict(state=state0, hyper=hyper64,
+                 sigma_g=jnp.zeros(S, F64), i=jnp.asarray(0, I32),
+                 active=jnp.ones(S, bool),
+                 status=jnp.full(S, opt.RUNNING, I32),
+                 nit=jnp.zeros(S, I32),
+                 prev_elbo=init_elbo,
+                 prev_dropped=jnp.zeros(S, bool),
+                 osc_counter=jnp.zeros(S, I32),
+                 best_elbo=jnp.full(S, -jnp.inf, F64),
+                 stall_counter=jnp.zeros(S, I32),
+                 sigma_g_counter=jnp.zeros(S, I32),
+                 div_counter=jnp.zeros(S, I32),
+                 damping=jnp.ones(S, F32),
+                 elbo_hist=elbo_hist)
+
+    def cond(c):
+        return (c['i'] < max_iter) & jnp.any(c['active'])
+
+    def body(c):
+        i = c['i'] + 1
+        hy = h32(c['hyper'])
+        act_f = c['active'].astype(F32) * c['damping']
+
+        state, eta_diff = cavi_sweep_mixture_batch(
+            ld, c['state'], std_beta, n_per_snp, hy, act_f,
+            tile=tile, inner_steps=inner_steps)
+        vt = batch_var_tau(hy)
+        stats = _mix_stats_batch(state, vt, std_beta, mask)
+        hyper, sigma_g, curr_elbo, curr_mse = m_step_elbo(
+            c['hyper'], stats, c['active'])
+        sigma_g = jnp.where(c['active'], sigma_g, c['sigma_g'])
+        curr_elbo = jnp.where(c['active'], curr_elbo, c['prev_elbo'])
+        h2 = sigma_g / (sigma_g + hyper.sigma_eps)
+        max_ed = jnp.max(jnp.abs(eta_diff) * mask[None], axis=(1, 2))
+
+        # --- patience / damping ladder (mirrors ops/em_loop.py) ---
+        sigg_cond = ((i > min_iter)
+                     & (jnp.abs(sigma_g - c['sigma_g']) <= x_abs_tol)
+                     & (max_ed < x_abs_tol * 10.0))
+        sigma_g_counter = jnp.where(sigg_cond, c['sigma_g_counter'] + 1, 0)
+        dropped = curr_elbo < c['prev_elbo']
+        div_cond = dropped & ~(jnp.abs(curr_elbo - c['prev_elbo'])
+                               <= 1e3 * f_abs_tol
+                               + 1e-4 * jnp.abs(c['prev_elbo']))
+        div_counter = jnp.where(div_cond, c['div_counter'] + 1, 0)
+
+        osc = jnp.where(dropped & c['prev_dropped'], c['osc_counter'] + 1,
+                        jnp.where(dropped, c['osc_counter'], 0))
+        escalate = c['active'] & (osc > 5) & (c['damping'] > 0.01)
+        damping = jnp.where(escalate, c['damping'] * F32(0.7), c['damping'])
+        osc = jnp.where(escalate, 0, osc)
+
+        improved = curr_elbo > c['best_elbo'] + f_abs_tol
+        best_elbo = jnp.maximum(c['best_elbo'], curr_elbo)
+        stall = jnp.where(improved | ~c['active'], 0, c['stall_counter'] + 1)
+        stall_escalate = c['active'] & (stall > 2 * patience) & (damping > 0.01)
+        damping = jnp.where(stall_escalate, damping * F32(0.5), damping)
+        stall = jnp.where(stall_escalate, 0, stall)
+
+        status = jnp.full(S, opt.RUNNING, I32)
+
+        def set_status(status, cond_, code):
+            return jnp.where((status == opt.RUNNING) & cond_, code, status)
+
+        status = set_status(status, curr_mse < 0.0, opt.MSE_NEGATIVE)
+        status = set_status(status, ~jnp.isfinite(curr_elbo),
+                            opt.ELBO_NONFINITE)
+        status = set_status(status, hyper.sigma_eps < 0.0,
+                            opt.SIGMA_EPS_NEGATIVE)
+        status = set_status(status, (h2 > 1.0) | (h2 < 0.0),
+                            opt.H2_OUT_OF_BOUNDS)
+        status = set_status(
+            status,
+            (i > min_iter) & (jnp.abs(curr_elbo - c['prev_elbo']) <= f_abs_tol),
+            opt.CONVERGED_F)
+        status = set_status(status, (i > min_iter) & (max_ed < x_abs_tol),
+                            opt.CONVERGED_X)
+        status = set_status(status, sigma_g_counter > patience,
+                            opt.CONVERGED_SIGMA_G)
+        status = set_status(status, div_counter > patience, opt.DIVERGED_ELBO)
+
+        newly_done = c['active'] & (status != opt.RUNNING)
+        status = jnp.where(newly_done, status, c['status'])
+        active = c['active'] & ~newly_done
+        nit = jnp.where(c['active'], i, c['nit'])
+
+        hist = lax.dynamic_update_slice(c['elbo_hist'], curr_elbo[None, :],
+                                        (i, jnp.asarray(0, I32)))
+        return dict(state=state, hyper=hyper, sigma_g=sigma_g, i=i,
+                    active=active, status=status, nit=nit,
+                    prev_elbo=curr_elbo, prev_dropped=dropped,
+                    osc_counter=osc, best_elbo=best_elbo,
+                    stall_counter=stall, sigma_g_counter=sigma_g_counter,
+                    div_counter=div_counter, damping=damping,
+                    elbo_hist=hist)
+
+    c = lax.while_loop(cond, body, carry)
+    status = jnp.where(c['active'], opt.MAX_ITER, c['status'])
+
+    hy = h32(c['hyper'])
+    vt = batch_var_tau(hy)
+    stats = _mix_stats_batch(c['state'], vt, std_beta, mask)
+    final_mse = (1.0 - 2.0 * stats['sum_beta_eta'] + c['sigma_g']
+                 - stats['sum_zeta_k'].sum(axis=1) + stats['sum_eta_sq'])
+
+    return MixEMBatchResult(state=c['state'], hyper=c['hyper'],
+                            sigma_g=c['sigma_g'], status=status, nit=c['nit'],
+                            elbo_hist=c['elbo_hist'], n_iter_total=c['i'],
+                            final_elbo=c['prev_elbo'], final_mse=final_mse)
