@@ -145,6 +145,7 @@ def main():
     try:
         _grid_section(ds)
         _mix_section(ds)
+        _mix_grid_section(ds)
     except Exception as e:  # noqa: BLE001 — report, don't lose the metric
         log(f"secondary workload failed: {type(e).__name__}: {e}")
 
@@ -180,6 +181,35 @@ def _grid_section(ds):
         grid_steady = time.time() - t0
         log(f"grid(100)+BMA steady-state: {grid_steady:.2f}s "
             f"(north-star target: <60s on 16 chips; this is 1 chip)")
+
+def _mix_grid_section(ds):
+    # ---- 20-point mixture grid in ONE simultaneous batched fit (the
+    # reference fits any model across grid rows in parallel processes,
+    # HyperparameterSearch.py:197-351; round 2 fell back to serial pathwise
+    # fits here) ----
+    if '--no-mix-grid' not in sys.argv:
+        from viprs_tpu.model import VIPRSMixGrid
+        from viprs_tpu.gridsearch import HyperparameterGrid
+        np.random.seed(0)
+        grid = HyperparameterGrid(pi_steps=20, n_snps=ds.m,
+                                  h2_est=0.25, h2_se=0.05)
+        g = VIPRSMixGrid(ds, grid, K=3)
+        t0 = time.time()
+        g.fit(max_iter=500)
+        cold = time.time() - t0
+        conv = int(np.sum([r.success for r in g.optim_results]))
+        log(f"VIPRSMixGrid(20 x K=3) cold (incl. compile): {cold:.2f}s; "
+            f"converged={conv}/20")
+
+        np.random.seed(0)
+        g2 = VIPRSMixGrid(ds, grid, K=3)
+        t0 = time.time()
+        g2.fit(max_iter=500)
+        steady = time.time() - t0
+        conv2 = int(np.sum([r.success for r in g2.optim_results]))
+        log(f"VIPRSMixGrid(20 x K=3) steady-state: {steady:.2f}s; "
+            f"converged={conv2}/20 (round-2 fallback: 20 serial fits)")
+
 
 def _mix_section(ds):
     # ---- VIPRSMix at genome scale (reference -m VIPRSMix is a first-class

@@ -75,11 +75,13 @@ class TestGridSearchFacade:
         assert model.n_models == 1
         assert model.post_mean_beta is not None
 
-    def test_pathwise_nongrid_model(self):
+    def test_mixture_model_grid_is_simultaneous(self):
         """Reference parity: the search accepts any PRS model class
-        (HyperparameterSearch.py:104-111), e.g. the mixture model — fitted
-        pathwise with each grid row pinned through fix_params."""
+        (HyperparameterSearch.py:104-111). The mixture model now routes to
+        the SIMULTANEOUS batched grid (VIPRSMixGrid / mix_em_fit_batch) —
+        one fused fit for all rows instead of serial pathwise fits."""
         from viprs_tpu.model.mix import VIPRSMix
+        from viprs_tpu.model.mix_grid import VIPRSMixGrid
 
         sim = simulate_sumstats_blocks(n=2500, block_sizes=(180, 150), h2=0.35,
                                        prop_causal=0.05, seed=56)
@@ -88,6 +90,7 @@ class TestGridSearchFacade:
         grid = HyperparameterGrid(pi_steps=3, n_snps=ds.m)
         np.random.seed(0)
         gs = GridSearch(ds, grid, criterion='ELBO', model_class=VIPRSMix, K=2)
+        assert gs._simultaneous and isinstance(gs.model, VIPRSMixGrid)
         model = gs.fit(max_iter=150)
         assert isinstance(model, VIPRSMix)
         assert model.post_mean_beta is not None
@@ -98,3 +101,22 @@ class TestGridSearchFacade:
         best = gs.validation_result['ELBO'].idxmax()
         assert np.isclose(model.objective(),
                           gs.validation_result['ELBO'][best])
+
+    def test_pathwise_fallback_any_model_class(self):
+        """Unknown (non-grid-capable) model classes still work through the
+        pathwise fallback — the reference's any-model worker semantics
+        (HyperparameterSearch.py:16-64): one fit per row with fix_params."""
+        from viprs_tpu.model import VIPRS
+
+        sim = simulate_sumstats_blocks(n=2500, block_sizes=(180, 150), h2=0.35,
+                                       prop_causal=0.05, seed=57)
+        ds = SummaryStatsDataset.from_dense_blocks(
+            sim['ld_blocks'], sim['std_beta'], sim['n_per_snp'], block_size=128)
+        grid = HyperparameterGrid(pi_steps=3, n_snps=ds.m)
+        np.random.seed(0)
+        gs = GridSearch(ds, grid, criterion='ELBO', model_class=VIPRS)
+        assert not gs._simultaneous
+        model = gs.fit(max_iter=150)
+        assert isinstance(model, VIPRS)
+        assert gs.validation_result is not None
+        assert len(gs.validation_result) == grid.n_models

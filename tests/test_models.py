@@ -235,6 +235,66 @@ class TestVIPRSMix:
         assert np.corrcoef(eta_v, eta_m)[0, 1] > 0.99
 
 
+class TestVIPRSMixGrid:
+
+    def test_batch_converges_and_matches_serial(self, dataset):
+        """All mixture grid lanes converge in ONE fused batched fit
+        (mix_em_fit_batch with the damping ladder — the round-2 batched
+        mixture kernel limit-cycled without it), landing at ELBOs equal or
+        better than serial per-row fits."""
+        from viprs_tpu.model.mix_grid import VIPRSMixGrid
+        np.random.seed(5)
+        grid = HyperparameterGrid(pi_steps=4, n_snps=dataset.m,
+                                  h2_est=0.3, h2_se=0.05)
+        g = VIPRSMixGrid(dataset, grid, K=2)
+        g.fit(max_iter=300)
+        assert g.converged_models.all(), \
+            [r.message for r in g.optim_results]
+        batch_elbos = np.asarray(g.elbo())
+        assert np.all(np.isfinite(batch_elbos))
+
+        rows = grid.combine_grids()
+        for i, row in enumerate(rows):
+            np.random.seed(100 + i)
+            m = VIPRSMix(dataset, K=2, fix_params=dict(row))
+            m.fit(max_iter=300)
+            # equal-or-better (inits differ by the per-row Dirichlet draw;
+            # the mixture ELBO is multi-modal in the component split):
+            assert batch_elbos[i] >= m.elbo() - 1.0, (i, batch_elbos[i], m.elbo())
+
+    def test_select_and_collapse(self, dataset):
+        from viprs_tpu.model.mix_grid import VIPRSMixGrid
+        from viprs_tpu.gridsearch import select_best_model
+        np.random.seed(6)
+        grid = HyperparameterGrid(pi_steps=4, n_snps=dataset.m,
+                                  h2_est=0.3, h2_se=0.05)
+        g = VIPRSMixGrid(dataset, grid, K=3)
+        g.fit(max_iter=300)
+        elbos = np.asarray(g.elbo()).copy()
+        best = select_best_model(g, criterion='ELBO')
+        assert best.n_models == 1
+        assert np.isclose(best.objective(), elbos.max(), atol=0.05)
+        assert 0 < best.get_heritability() < 1
+        # posterior surface behaves like a plain VIPRSMix:
+        pip = np.concatenate([best.pip[c] for c in best.chromosomes])
+        assert pip.shape == (dataset.m,)
+        assert np.all((pip >= 0) & (pip <= 1 + 1e-6))
+
+    def test_pumas_pseudo_validation_selection(self, dataset):
+        from viprs_tpu.model.mix_grid import VIPRSMixGrid
+        from viprs_tpu.gridsearch import select_best_model
+        np.random.seed(7)
+        grid = HyperparameterGrid(pi_steps=3, n_snps=dataset.m,
+                                  h2_est=0.3, h2_se=0.05)
+        g = VIPRSMixGrid(dataset, grid, K=2)
+        g.split_gwas_sumstats(prop_train=0.8)
+        g.fit(max_iter=300)
+        scores = g.pseudo_validate()
+        assert scores.shape == (3,)
+        best = select_best_model(g, criterion='pseudo_validation')
+        assert best.n_models == 1
+
+
 class TestVIPRSGrid:
 
     def _grid(self, dataset):

@@ -153,9 +153,11 @@ class GridSearch:
 
     Like the reference — whose search fans out *any* PRS model with
     `fix_params` set per grid row (HyperparameterSearch.py:16-64,104-111) —
-    non-grid model classes (e.g. ``VIPRSMix``) are supported through a
-    pathwise fallback: one fit per grid row with the row pinned via
-    ``fix_params``, scored under the same criterion.
+    every built-in model class fits its grid SIMULTANEOUSLY: VIPRS via
+    VIPRSGrid, VIPRSMix via VIPRSMixGrid (the batched mixture loop,
+    ops/mix_em_loop.py:mix_em_fit_batch). Unknown model classes fall back to
+    one fit per grid row with the row pinned via ``fix_params``, scored under
+    the same criterion.
     """
 
     def __init__(self, dataset, grid, criterion='ELBO', validation_gdl=None,
@@ -163,10 +165,16 @@ class GridSearch:
         assert criterion in ('ELBO', 'training_objective', 'validation',
                              'pseudo_validation')
         from ..model.grid import VIPRSGrid
+        from ..model.mix import VIPRSMix
+        from ..model.mix_grid import VIPRSMixGrid
         self.criterion = 'ELBO' if criterion == 'training_objective' else criterion
         self.validation_gdl = validation_gdl
         cls = model_class or VIPRSGrid
-        self._simultaneous = isinstance(cls, type) and issubclass(cls, VIPRSGrid)
+        if isinstance(cls, type) and issubclass(cls, VIPRSMix) \
+                and not issubclass(cls, VIPRSMixGrid):
+            cls = VIPRSMixGrid
+        self._simultaneous = isinstance(cls, type) and \
+            issubclass(cls, (VIPRSGrid, VIPRSMixGrid))
         if self._simultaneous:
             self.model = cls(dataset, grid, **model_kwargs)
         else:

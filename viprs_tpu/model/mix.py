@@ -58,6 +58,13 @@ class VIPRSMix(BayesPRSModel):
         self.optim_result = OptimizeResult()
         self.history = {}
 
+        self._std_beta_flat = None
+        self._n_flat = None
+        self._refresh_inputs()
+
+    def _refresh_inputs(self):
+        """(Re)build the flat device inputs from the current std_beta /
+        n_per_snp dicts (these change under PUMAS splitting)."""
         lay = self.dataset.layout
         sb = jnp.asarray(
             lay.to_flat(self.std_beta).reshape(lay.nb, lay.block_size), F32)
@@ -69,6 +76,10 @@ class VIPRSMix(BayesPRSModel):
             nf = shard_flat(self.mesh, nf, self._ld.nb)
         self._std_beta_flat = sb
         self._n_flat = nf
+
+    def initialize_input_data_arrays(self):
+        super().initialize_input_data_arrays()
+        self._refresh_inputs()
 
     # ------------------------------------------------------------ initialization
     def initialize(self, theta_0=None, param_0=None):
@@ -309,6 +320,7 @@ class VIPRSMix(BayesPRSModel):
         """Mixture EM fit. ``fused=True`` (default) runs the whole loop on
         device (ops/mix_em_loop.py); ``fused=False`` falls back to the
         host-stepped loop (needed for exotic per-iteration tracking)."""
+        self._refresh_inputs()
         if fused:
             return self._fit_fused(max_iter, theta_0, param_0, continued,
                                    min_iter, f_abs_tol, x_abs_tol, patience,

@@ -262,12 +262,17 @@ def mix_em_fit_batch(ld: BlockLD,
                      x_abs_tol: float = 1e-6,
                      patience: int = 10,
                      tile: int = 128,
-                     inner_steps: int = 8):
+                     inner_steps: int = 8,
+                     active0=None,
+                     sigma_g0=None):
     """Fused grid-batched mixture EM: all S settings advance together with
     converged-lane masking; the initial objective is computed in-graph.
 
     ``hyper0``: sigma_eps/lambda_min (S,) f32, tau_beta/pi (S, K) f32.
     ``d_mult``: (K,) prior-variance multipliers (shared across lanes).
+    ``active0``: (S,) bool — lanes to optimize (None = all; the host restart
+    pass re-runs only the restarted + unfinished lanes).
+    ``sigma_g0``: (S,) f64 carry for re-entrant calls (None = zeros).
     """
     from .cavi_mix import cavi_sweep_mixture_batch, mix_var_tau
 
@@ -315,21 +320,26 @@ def mix_em_fit_batch(ld: BlockLD,
 
     hyper64 = MixHyper(*(x.astype(F64) for x in hyper0))
 
+    sigma_g_init = (jnp.zeros(S, F64) if sigma_g0 is None
+                    else jnp.asarray(sigma_g0, F64))
+    active_init = (jnp.ones(S, bool) if active0 is None
+                   else jnp.asarray(active0, bool))
+
     # in-graph initial objective (history slot 0):
     hy0 = h32(hyper64)
     vt0 = batch_var_tau(hy0)
     stats0 = _mix_stats_batch(state0, vt0, std_beta, mask)
     init_elbo = jax.vmap(
-        lambda st, hy, fse: _mix_elbo(st, hy, fse, jnp.asarray(0.0, F64),
-                                      n_sample, m_total, d64))(
-        stats0, hy0, fix.sigma_eps)
+        lambda st, hy, fse, sg: _mix_elbo(st, hy, fse, sg,
+                                          n_sample, m_total, d64))(
+        stats0, hy0, fix.sigma_eps, sigma_g_init)
 
     elbo_hist = jnp.full((max_iter + 1, S), jnp.nan, dtype=F64)
     elbo_hist = elbo_hist.at[0].set(init_elbo)
 
     carry = dict(state=state0, hyper=hyper64,
-                 sigma_g=jnp.zeros(S, F64), i=jnp.asarray(0, I32),
-                 active=jnp.ones(S, bool),
+                 sigma_g=sigma_g_init, i=jnp.asarray(0, I32),
+                 active=active_init,
                  status=jnp.full(S, opt.RUNNING, I32),
                  nit=jnp.zeros(S, I32),
                  prev_elbo=init_elbo,
