@@ -181,6 +181,69 @@ def test_fit_mesh_flag_end_to_end(pipeline_data):
     np.testing.assert_allclose(t_auto['PIP'], t_off['PIP'], atol=1e-2)
 
 
+def test_fit_streams_when_ld_exceeds_budget(tmp_path):
+    """LD-larger-than-HBM capacity plan: with a tiny simulated device budget
+    the fit streams over chromosome groups (the reference's per-chromosome
+    mode, bin/viprs_fit:232-238) and the merged outputs cover every variant."""
+    sys.path.insert(0, os.path.join(REPO, 'tests'))
+    from plink_utils import write_plink_bed
+    from viprs_tpu.data.genotype import GenotypeMatrix
+    from viprs_tpu.data.loader import GWADataLoader
+    from viprs_tpu.data import ld_store
+
+    rng = np.random.default_rng(5)
+    n, m = 400, 240
+    maf = rng.uniform(0.1, 0.5, m)
+    dosages = rng.binomial(2, maf, size=(n, m)).astype(np.float64)
+    alleles = rng.choice(['A', 'C'], size=m)
+    bim = pd.DataFrame({'CHR': np.repeat([19, 20, 21], m // 3),
+                        'SNP': [f'rs{i}' for i in range(m)],
+                        'CM': 0.0, 'POS': np.tile(np.arange(1, m // 3 + 1) * 1000, 3),
+                        'A1': alleles, 'A2': np.where(alleles == 'A', 'G', 'T')})
+    beta = np.where(rng.random(m) < 0.1, rng.standard_normal(m) * 0.25, 0.0)
+    x_std = (dosages - dosages.mean(0)) / np.maximum(dosages.std(0), 1e-9)
+    y = x_std @ beta + rng.standard_normal(n)
+    fam = pd.DataFrame({'FID': [f'F{i}' for i in range(n)],
+                        'IID': [f'I{i}' for i in range(n)],
+                        'father': 0, 'mother': 0, 'sex': 1, 'PHENO': y})
+    prefix = str(tmp_path / 'geno')
+    write_plink_bed(prefix, dosages, bim, fam)
+    g = GenotypeMatrix(prefix)
+    ss_file = str(tmp_path / 'sumstats.txt')
+    g.perform_gwas(y).table.to_csv(ss_file, sep="\t", index=False)
+    loader = GWADataLoader(bed_files=prefix)
+    loader.compute_ld(estimator='block', max_block_size=40)
+    store = str(tmp_path / 'ld')
+    ld_store.save_ld_store(store, loader.ld_blocks, loader.ld_snp_tables)
+
+    out = str(tmp_path / 'stream' / 'output')
+    res = _run(['bin/viprs_fit', '-l', store, '-s', ss_file,
+                '--output-file', out, '--block-size', '128',
+                '--max-iter', '200', '--seed', '7',
+                '--device-memory-gb', '2e-5',
+                '--output-profiler-metrics'])
+    assert 'streamed over' in res.stdout
+    fit_tab = pd.read_csv(out + '.fit.gz', sep="\t")
+    assert len(fit_tab) == m
+    assert set(fit_tab['CHR']) == {19, 20, 21}
+    hyp = pd.read_csv(out + '.hyp', sep="\t")
+    assert 'Chromosomes' in hyp.columns
+    prof = pd.read_csv(out + '.prof', sep="\t")
+    assert int(prof['Streamed_Groups'].iloc[0]) >= 2
+
+    # posterior matches the unstreamed fit loosely (per-group fits
+    # re-estimate hyperparameters per group — reference per-chromosome
+    # semantics):
+    out2 = str(tmp_path / 'stream' / 'ref')
+    _run(['bin/viprs_fit', '-l', store, '-s', ss_file,
+          '--output-file', out2, '--block-size', '128',
+          '--max-iter', '200', '--seed', '7'])
+    ref_tab = pd.read_csv(out2 + '.fit.gz', sep="\t")
+    merged = fit_tab.merge(ref_tab, on='SNP', suffixes=('_s', '_r'))
+    assert len(merged) == m
+    assert np.corrcoef(merged['BETA_s'], merged['BETA_r'])[0, 1] > 0.9
+
+
 def test_internal_errors_surface_unmasked(pipeline_data):
     """A bug inside model selection must surface as its own traceback, NOT be
     swallowed by the automatic lambda_min retry — the retry is gated on the

@@ -141,6 +141,15 @@ def build_parser():
                         help="Accepted for compatibility; chromosomes are fit "
                              "jointly on TPU (see --mesh for the TPU-native "
                              "parallelism knob).")
+    parser.add_argument('--device-memory-gb', dest='device_memory_gb',
+                        type=float, default=None,
+                        help="Per-device HBM budget for the LD capacity "
+                             "planner. When the packed LD exceeds ~65%% of "
+                             "the total budget (devices x this), the fit "
+                             "streams over chromosome groups (the exact "
+                             "analog of the reference's per-chromosome mode, "
+                             "bin/viprs_fit:232-238). Default: auto-detected "
+                             "on TPU backends; no streaming elsewhere.")
     parser.add_argument('--mesh', dest='mesh', default='auto',
                         help="Multi-device placement: 'auto' (default: shard "
                              "LD blocks over all visible devices), 'off' "
@@ -368,6 +377,103 @@ def fit_model(args, model, validation_gdl, validation_ss):
     return model, fit_time
 
 
+def _device_budget_bytes(args):
+    """Total accelerator memory budget for the packed LD (65% headroom for
+    state/workspace). None disables streaming (no budget known)."""
+    import jax
+    per_dev = args.device_memory_gb
+    if per_dev is None:
+        if jax.default_backend() not in ('tpu', 'axon'):
+            return None
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            per_dev = stats.get('bytes_limit', 16e9) / 1e9
+        except Exception:
+            per_dev = 16.0  # v5e HBM
+    return 0.65 * per_dev * 1e9 * max(1, len(jax.devices()))
+
+
+def _plan_streaming(args, loader):
+    """Returns chromosome groups when the packed LD exceeds the device
+    budget; None for the (default) single genome-wide fit."""
+    budget = _device_budget_bytes(args)
+    if budget is None or loader.ld_snp_tables is None:
+        return None
+    try:
+        per_chrom = loader.estimate_packed_bytes()
+    except Exception as e:  # planner is best-effort; fall back to one fit
+        logger.debug("capacity estimate failed: %s", e)
+        return None
+    total = sum(per_chrom.values())
+    if total <= budget:
+        return None
+    groups = loader.plan_chromosome_groups(budget)
+    logger.warning(
+        "> Packed LD (~%.2f GB) exceeds the device budget (%.2f GB); "
+        "streaming the fit over %d chromosome groups (reference "
+        "per-chromosome semantics). Use more devices (--mesh) for a joint "
+        "genome-wide fit.", total / 1e9, budget / 1e9, len(groups))
+    return groups
+
+
+def _run_streamed(args, loader, groups, validation_gdl, validation_ss,
+                  t_start, data_time):
+    """Sequential per-group fits with one group's LD resident at a time;
+    outputs are the concatenation of per-group tables (exactly the
+    reference's joblib-over-chromosomes output shape, bin/viprs_fit:1093-1140).
+    """
+    import gc
+    import pandas as pd
+
+    fit_tables, hyp_tables, val_tables = [], [], []
+    fit_time = 0.0
+    total_iters = 0
+    for gi, (group, dataset) in enumerate(
+            loader.iter_group_datasets(groups)):
+        logger.info("> [group %d/%d] chromosomes %s (%d variants)",
+                    gi + 1, len(groups), group, dataset.m)
+        model = prepare_model(args, dataset)
+        model, ft = fit_model(args, model, validation_gdl, validation_ss)
+        fit_time += ft
+        total_iters += int(getattr(model.optim_result, 'nit', 0) or 0)
+        fit_tables.append(model.to_table())
+        ht = model.to_theta_table()
+        ht.insert(0, 'Chromosomes', ','.join(str(c) for c in group))
+        hyp_tables.append(ht)
+        if getattr(model, 'validation_result', None) is not None:
+            vt = model.to_validation_table()
+            vt.insert(0, 'Chromosomes', ','.join(str(c) for c in group))
+            val_tables.append(vt)
+        del model, dataset
+        gc.collect()
+
+    out_prefix = args.output_file
+    out_dir = osp.dirname(out_prefix)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    pd.concat(fit_tables, ignore_index=True).to_csv(
+        out_prefix + '.fit.gz', sep="\t", index=False, compression='gzip')
+    pd.concat(hyp_tables, ignore_index=True).to_csv(
+        out_prefix + '.hyp', sep="\t", index=False)
+    if val_tables:
+        pd.concat(val_tables, ignore_index=True).to_csv(
+            out_prefix + '.validation', sep="\t", index=False)
+    if args.profiler:
+        prof = {'DataPrep_Time': round(data_time, 3),
+                'Fit_time': round(fit_time, 3),
+                'Total_Iterations': total_iters,
+                'Total_WallClockTime': round(time.time() - t_start, 3),
+                'Streamed_Groups': len(groups)}
+        pd.DataFrame([prof]).to_csv(out_prefix + '.prof', sep="\t",
+                                    index=False)
+    logger.info("> Done (streamed over %d groups). Outputs written with "
+                "prefix %s", len(groups), out_prefix)
+    print(f"viprs_fit finished in {time.time() - t_start:.2f}s "
+          f"(streamed over {len(groups)} chromosome groups); "
+          f"outputs: {out_prefix}.fit.gz")
+    return 0
+
+
 def main(argv=None):
     args = check_args(build_parser().parse_args(argv))
 
@@ -383,6 +489,18 @@ def main(argv=None):
     t_start = time.time()
     logger.info("> Loading and harmonizing data...")
     loader, validation_gdl, validation_ss = init_data(args)
+
+    # ---- LD capacity plan (BENCH.md 'Capacity'): when the packed LD exceeds
+    # the device budget, stream the fit over chromosome groups — chromosomes
+    # are independent LD blocks, so per-group fits are exact per group (the
+    # reference's default per-chromosome mode, bin/viprs_fit:232-238). ----
+    groups = _plan_streaming(args, loader)
+    data_time = time.time() - t_start
+
+    if groups is not None:
+        return _run_streamed(args, loader, groups, validation_gdl,
+                             validation_ss, t_start, data_time)
+
     dataset = loader.to_summary_dataset()
     data_time = time.time() - t_start
 

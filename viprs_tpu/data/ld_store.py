@@ -87,6 +87,71 @@ def load_ld_store(path, chromosomes=None, tables_only=False):
     return (None if tables_only else chrom_blocks), (snp_tables or None)
 
 
+def native_store_block_sizes(path, chromosomes=None):
+    """Per-chromosome LD block sizes of a native store, read from the .npz
+    member headers only (no array data is decompressed) — the capacity
+    planner's input for streamed fitting."""
+    import zipfile
+    from numpy.lib import format as npf
+
+    files = [f for f in os.listdir(path)
+             if f.startswith('chr_') and f.endswith('.npz')]
+    out = {}
+    for f in sorted(files):
+        c = _parse_chrom(f)
+        if chromosomes is not None and c not in chromosomes:
+            continue
+        sizes = {}
+        with zipfile.ZipFile(osp.join(path, f)) as zf:
+            for name in zf.namelist():
+                with zf.open(name) as member:
+                    version = npf.read_magic(member)
+                    shape, _, _ = npf._read_array_header(member, version)
+                sizes[name] = shape[0]
+        out[c] = [sizes[k] for k in sorted(sizes)]
+    return out
+
+
+def magenpy_zarr_block_sizes(path):
+    """{chrom: [block sizes]} of a magenpy Zarr store, from the (small)
+    indptr + boundary metadata only — matrix/data is never opened."""
+    from . import zarr_v2
+
+    g = zarr_v2.open_group(path)
+    indptr = np.asarray(g['matrix/indptr'][...])
+    attrs = dict(g.attrs)
+    chrom = attrs.get('Chromosome', 0)
+    try:
+        chrom = int(chrom)
+    except (TypeError, ValueError):
+        pass
+    m = len(indptr) - 1
+    bounds = _read_meta_array(g, ('ld_boundaries', 'LD boundaries', 'ldb'))
+    if bounds is None:
+        raise ValueError(f"{path}: no LD-boundary metadata; cannot plan.")
+    bounds = np.asarray(bounds)
+    widths = np.diff(indptr)
+    j = np.arange(m)
+    if np.array_equal(widths, bounds[1] - bounds[0]):
+        # symmetric rows: [bounds[0], bounds[1]) per row
+        cuts = _band_cut_points_from_edges(bounds[0].astype(np.int64),
+                                           bounds[1].astype(np.int64), m)
+    else:
+        # upper-triangular rows: row j spans (j, bounds[1, j})
+        cuts = _band_cut_points_from_edges(j.astype(np.int64),
+                                           bounds[1].astype(np.int64), m)
+    return {chrom: [hi - lo for lo, hi in zip(cuts[:-1], cuts[1:])]}
+
+
+def _band_cut_points_from_edges(left, right_excl, m):
+    runmax = np.maximum.accumulate(right_excl)
+    cuts = [0]
+    cut_points = np.nonzero(runmax[:-1] <= np.arange(1, m))[0] + 1
+    cuts.extend(int(c) for c in cut_points)
+    cuts.append(m)
+    return sorted(set(cuts))
+
+
 def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
     """Cut a banded symmetric LD matrix into exact dense diagonal blocks at
     points where no stored entry crosses the boundary (LDetect-style block
@@ -207,6 +272,37 @@ def load_magenpy_zarr(path):
     (``Chromosome``, ``Sample size``, ...). Read with the built-in
     dependency-free Zarr v2 reader (:mod:`viprs_tpu.data.zarr_v2`) — no
     ``zarr`` package needed.
+
+    LAYOUT PROVENANCE AUDIT — magenpy itself is not vendored here, so every
+    assumed key name is traced to the consuming surface in the reference
+    (hard-validated below; unknown layouts are errors, never guesses):
+
+    - ``matrix/data`` / ``matrix/indptr``: the CSR-like banded pair the
+      reference unpacks from ``LDMatrix.load(...)`` as
+      ``ld_lop.ld_data`` / ``ld_lop.ld_indptr``
+      (/root/reference/viprs/model/VIPRS.py:167-172) and feeds to the C++
+      kernel (VIPRS.py:408-414). magenpy's Zarr group nests them under
+      ``matrix/`` (magenpy LDMatrix docs; store is Zarr v2).
+    - ``metadata/ld_boundaries`` (aliases ``LD boundaries``, ``ldb``): the
+      (2, M) [start, end) window bounds behind ``ld_lop.leftmost_idx``
+      (VIPRS.py:172) and ``LDMatrix.window_size``
+      (/root/reference/benchmarks/benchmark_e_step.py:312-317). Validated
+      against the indptr row widths for BOTH row semantics the reference
+      loads: symmetric (``return_symmetric=True``) and upper-triangular
+      low-memory rows (VIPRS.py:156-167, e_step.hpp:423-441).
+    - ``metadata/snps``, ``a1``, ``a2``, ``bp``, ``maf``, ``cm``,
+      ``ldscore``: the per-variant table surface the reference consumes via
+      ``to_snp_table`` / ``merge_snp_tables`` allele-alignment
+      (/root/reference/viprs/model/BayesPRSModel.py:252-331) and LD-score
+      access for ``simple_ldsc`` (VIPRS.py:284-292).
+    - attrs ``Chromosome`` / ``Sample size``: chromosome labeling of the
+      per-chromosome stores (bin/viprs_fit:232-238 splits by chromosome) and
+      the LD panel's sample size.
+    - int8/int16 quantized storage with scale ``1/iinfo(dtype).max``:
+      VIPRS.py:156-166 & 201-207 (``stored_dtype`` + dequantize-on-the-fly).
+    - chromosome-level **zip archives** of these stores are the published
+      distribution form (hf://datasets/shz9/ukb-ld,
+      /root/reference/docs/download_ld.md:20-55).
 
     Row semantics are *validated, never guessed*: the LD-boundary metadata must
     be present and consistent with the indptr row widths, identifying the store

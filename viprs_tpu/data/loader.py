@@ -35,7 +35,13 @@ LONG_RANGE_LD_REGIONS = [
 
 
 def get_filenames(path_or_pattern):
-    """Expand a path / glob pattern / list into a sorted file list."""
+    """Expand a path / glob pattern / list into a sorted file list.
+
+    ``hf://`` paths (the reference's cloud-streamable LD panels,
+    docs/download_ld.md:20-55) resolve through huggingface_hub: matching
+    remote files download into the local HF cache and their local paths are
+    returned, so the zip-archive Zarr reader sees ordinary files.
+    """
     if path_or_pattern is None:
         return []
     if isinstance(path_or_pattern, (list, tuple)):
@@ -43,6 +49,9 @@ def get_filenames(path_or_pattern):
         for p in path_or_pattern:
             out.extend(get_filenames(p))
         return out
+    if str(path_or_pattern).startswith('hf://'):
+        from ..utils.system import _expand_hf_path
+        return _expand_hf_path(str(path_or_pattern))
     matches = sorted(_glob.glob(str(path_or_pattern)))
     return matches if matches else [str(path_or_pattern)]
 
@@ -92,6 +101,7 @@ class GWADataLoader:
         self.ld_blocks = None
         self.ld_snp_tables = None
         self._ld_sources = None      # [(kind, path)] for lazy loads + cache key
+        self._ld_source_chroms = []  # parallel to _ld_sources: chroms per store
         self._ld_present = None      # {chrom: bool mask in STORE order}
         if ld_store_files:
             stores = get_filenames(ld_store_files)
@@ -108,6 +118,7 @@ class GWADataLoader:
                     if tables:
                         self.ld_snp_tables.update(tables)
                         self._ld_sources.append(('native', store))
+                        self._ld_source_chroms.append(set(tables))
                     else:
                         # store without variant tables: nothing to harmonize
                         # against lazily; load the blocks now.
@@ -119,6 +130,7 @@ class GWADataLoader:
                     if tables:
                         self.ld_snp_tables.update(tables)
                         self._ld_sources.append(('zarr', store))
+                        self._ld_source_chroms.append(set(tables))
                     else:
                         banded, _ = ld_store_mod.load_magenpy_zarr(store)
                         for c, (data, indptr, left) in banded.items():
@@ -235,14 +247,16 @@ class GWADataLoader:
     # ------------------------------------------------------------ harmonization
     # ------------------------------------------------------ lazy LD plumbing
     @staticmethod
-    def _load_source_blocks(kind, store):
+    def _load_source_blocks(kind, store, chromosomes=None):
         """Read the LD blocks of one recorded store source."""
         if kind == 'native':
-            blocks, _ = ld_store_mod.load_ld_store(store)
+            blocks, _ = ld_store_mod.load_ld_store(store,
+                                                   chromosomes=chromosomes)
             return blocks
         banded, _ = ld_store_mod.load_magenpy_zarr(store)
         return {c: ld_store_mod.banded_to_blocks(data, indptr, left)
-                for c, (data, indptr, left) in banded.items()}
+                for c, (data, indptr, left) in banded.items()
+                if chromosomes is None or c in chromosomes}
 
     @staticmethod
     def _slice_blocks(blocks, present):
@@ -278,8 +292,14 @@ class GWADataLoader:
             return self._ld_blocks
         chroms = set(self.ld_snp_tables or {})
         blocks = {}
-        for kind, store in self._ld_sources:
-            for c, blks in self._load_source_blocks(kind, store).items():
+        src_chroms = self._ld_source_chroms \
+            or [None] * len(self._ld_sources)
+        for (kind, store), known in zip(self._ld_sources, src_chroms):
+            if chroms and known is not None and not (chroms & known):
+                continue  # nothing wanted from this store — skip the read
+            loaded = self._load_source_blocks(kind, store,
+                                              chromosomes=chroms or None)
+            for c, blks in loaded.items():
                 if c in chroms or not chroms:
                     blocks[c] = blks
         if self._ld_present is not None:
@@ -543,6 +563,91 @@ class GWADataLoader:
             from . import pack_cache
             pack_cache.save_packed(key, self._dataset.ld, self._dataset.layout)
         return self._dataset
+
+    # ------------------------------------------------------------- streaming
+    def estimate_packed_bytes(self, block_size=None, quantize=None):
+        """{chrom: packed BlockLD bytes} without reading any LD data —
+        block sizes come from .npz member headers / Zarr boundary metadata.
+
+        Conservative: uses the store's raw block sizes (harmonization only
+        shrinks them). The capacity planner for LD-larger-than-HBM streaming
+        (reference analog: per-chromosome fits, bin/viprs_fit:232-238).
+        """
+        from ..ops.block_ld import estimate_packed_bytes
+        block_size = block_size or self.block_size
+        quantize = self.quantize_ld if quantize is None else quantize
+        sizes = {}
+        if self._ld_sources:
+            for kind, store in self._ld_sources:
+                if kind == 'native':
+                    sizes.update(ld_store_mod.native_store_block_sizes(store))
+                else:
+                    sizes.update(ld_store_mod.magenpy_zarr_block_sizes(store))
+        elif self._ld_blocks is not None:
+            sizes = {c: [b.shape[0] for b in blks]
+                     for c, blks in self._ld_blocks.items()}
+        keep = set(self.ld_snp_tables or sizes)
+        return {c: estimate_packed_bytes({c: s}, block_size=block_size,
+                                         quantize=quantize)
+                for c, s in sizes.items() if c in keep}
+
+    def plan_chromosome_groups(self, budget_bytes, block_size=None,
+                               quantize=None):
+        """Group chromosomes so each group's packed LD fits the budget.
+
+        Chromosomes are independent LD blocks, so a sequential per-group fit
+        is exact per group (the reference's default per-chromosome mode,
+        bin/viprs_fit:232-238). Returns a list of chromosome lists.
+        """
+        per_chrom = self.estimate_packed_bytes(block_size, quantize)
+        groups, cur, cur_bytes = [], [], 0
+        for c in sorted(per_chrom, key=str):
+            b = per_chrom[c]
+            if b > budget_bytes:
+                logger.warning(
+                    "Chromosome %s alone packs to %.2f GB (> budget %.2f GB);"
+                    " it forms its own group and may not fit on one device — "
+                    "use a multi-device mesh to shard its blocks.",
+                    c, b / 1e9, budget_bytes / 1e9)
+            if cur and cur_bytes + b > budget_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(c)
+            cur_bytes += b
+        if cur:
+            groups.append(cur)
+        return groups
+
+    def subset_loader(self, chromosomes):
+        """A lazy view of this loader restricted to the given chromosomes
+        (shares sources and masks; materializes only that subset's LD)."""
+        chroms = set(chromosomes)
+        sub = GWADataLoader.__new__(GWADataLoader)
+        sub.__dict__.update(self.__dict__)
+        sub.ld_snp_tables = {c: t for c, t in (self.ld_snp_tables or {}).items()
+                             if c in chroms} or None
+        sub.sumstats_table = ({c: t for c, t in self.sumstats_table.items()
+                               if c in chroms}
+                              if self.sumstats_table else None)
+        if self._ld_blocks is not None:
+            sub.ld_blocks = {c: b for c, b in self._ld_blocks.items()
+                             if c in chroms}
+        if self._ld_present is not None:
+            sub._ld_present = {c: m for c, m in self._ld_present.items()
+                               if c in chroms}
+        sub._dataset = None
+        return sub
+
+    def iter_group_datasets(self, groups, block_size=None, quantize=None):
+        """Yield (chromosome_group, SummaryStatsDataset) per planned group,
+        materializing (and then releasing) one group's LD at a time."""
+        for group in groups:
+            sub = self.subset_loader(group)
+            ds = sub.to_summary_dataset(block_size=block_size,
+                                        quantize=quantize)
+            yield group, ds
+            sub.cleanup()
+            del sub, ds
 
     # ------------------------------------------------------------------- misc
     def split_by_chromosome(self):

@@ -169,6 +169,99 @@ def quantize_int8(x: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(x * 127.0), -127, 127).astype(np.int8)
 
 
+def plan_layout(chrom_block_sizes: dict, block_size: int = 1024,
+                greedy: bool = True):
+    """Compute the packed layout from LD-block SIZES alone (no data needed).
+
+    greedy=True: best-fit-decreasing bin packing of LD blocks into B-tiles
+    within each chromosome (placement order decoupled from variant order;
+    BlockLayout.flat_index keeps the variant-order mapping exact).
+
+    :param chrom_block_sizes: {chrom: [m_i, ...]} per-chromosome LD block sizes.
+    :returns: (layout, placements) with placements a list of
+        (tile, offset, chrom, block_idx, m_i).
+    """
+    B = block_size
+    chroms = sorted(chrom_block_sizes.keys())
+
+    chrom_sizes, chrom_block_range = [], []
+    placements = []         # (tile, offset, chrom, block_idx, m_i)
+    flat_idx_by_block = {}  # (chrom, block_idx) -> flat index array
+    tile_cursor = 0
+    for c in chroms:
+        c_first_tile = tile_cursor
+        sizes = chrom_block_sizes[c]
+        c_size = int(sum(sizes))
+
+        order = range(len(sizes))
+        if greedy:
+            order = sorted(order, key=lambda i: -sizes[i])
+        open_tiles = []  # list of [tile, used]
+
+        for bi in order:
+            m_i = int(sizes[bi])
+            ntiles = _round_up(max(m_i, 1), B) // B
+            if ntiles > 1 or not greedy:
+                # multi-tile block: contiguous fresh tiles; tail stays open
+                t0 = tile_cursor
+                placements.append((t0, 0, c, bi, m_i))
+                base = t0 * B
+                tile_cursor += ntiles
+                if greedy and m_i % B:
+                    open_tiles.append([t0 + ntiles - 1, m_i % B])
+            else:
+                # best-fit: the open tile with the least remaining space that fits
+                best = None
+                for slot in open_tiles:
+                    rem = B - slot[1]
+                    if m_i <= rem and (best is None or rem < B - best[1]):
+                        best = slot
+                if best is None:
+                    best = [tile_cursor, 0]
+                    open_tiles.append(best)
+                    tile_cursor += 1
+                placements.append((best[0], best[1], c, bi, m_i))
+                base = best[0] * B + best[1]
+                best[1] += m_i
+            flat_idx_by_block[(c, bi)] = np.arange(base, base + m_i,
+                                                   dtype=np.int64)
+
+        chrom_sizes.append(c_size)
+        chrom_block_range.append((c_first_tile, tile_cursor))
+
+    # flat indices in original variant order:
+    flat_idx_parts = [flat_idx_by_block[(c, bi)]
+                      for c in chroms for bi in range(len(chrom_block_sizes[c]))]
+    nb = tile_cursor
+    layout = BlockLayout(chromosomes=chroms,
+                         chrom_sizes=chrom_sizes,
+                         chrom_block_range=chrom_block_range,
+                         flat_index=np.concatenate(flat_idx_parts) if flat_idx_parts
+                         else np.zeros(0, np.int64),
+                         block_size=B, nb=nb)
+    return layout, placements
+
+
+def estimate_packed_bytes(chrom_block_sizes: dict, block_size: int = 1024,
+                          quantize: bool = True, greedy: bool = True):
+    """Packed BlockLD size in bytes from LD-block sizes alone (the capacity
+    planner for LD-larger-than-HBM streaming; BENCH.md 'Capacity').
+
+    Counts diagonal tiles from the actual bin-packing plan plus the compact
+    coupling tiles of multi-tile blocks (upper-triangle pairs).
+    """
+    B = block_size
+    layout, placements = plan_layout(chrom_block_sizes, block_size=B,
+                                     greedy=greedy)
+    n_off = 0
+    for _, o, _, _, m_i in placements:
+        if o == 0 and m_i > B:
+            ntiles = _round_up(m_i, B) // B
+            n_off += ntiles * (ntiles - 1) // 2
+    itemsize = 1 if quantize else 4
+    return (layout.nb + n_off) * B * B * itemsize
+
+
 def pack_dense_blocks(chrom_blocks: dict,
                       block_size: int = 1024,
                       dtype=np.float32,
@@ -186,77 +279,20 @@ def pack_dense_blocks(chrom_blocks: dict,
     :param chrom_blocks: {chrom: [dense (m_i, m_i) numpy arrays]}
     """
     B = block_size
-    chroms = sorted(chrom_blocks.keys())
-
-    # ---- compute layout ----
-    # greedy=True: best-fit-decreasing bin packing of LD blocks into B-tiles
-    # within each chromosome (placement order decoupled from variant order;
-    # BlockLayout.flat_index keeps the variant-order mapping exact).
-    chrom_sizes, chrom_block_range = [], []
-    placements = []        # (tile, offset, block) in arbitrary order
-    flat_idx_by_block = {}  # (chrom, block_idx) -> flat index array
-    tile_cursor = 0
-    for c in chroms:
-        c_first_tile = tile_cursor
-        blocks = chrom_blocks[c]
-        c_size = sum(blk.shape[0] for blk in blocks)
-
-        order = range(len(blocks))
-        if greedy:
-            order = sorted(order, key=lambda i: -blocks[i].shape[0])
-        open_tiles = []  # list of [tile, used]
-
-        for bi in order:
-            blk = blocks[bi]
-            m_i = blk.shape[0]
-            assert blk.shape == (m_i, m_i)
-            ntiles = _round_up(max(m_i, 1), B) // B
-            if ntiles > 1 or not greedy:
-                # multi-tile block: contiguous fresh tiles; tail stays open
-                t0 = tile_cursor
-                placements.append((t0, 0, blk))
-                base = t0 * B
-                tile_cursor += ntiles
-                if greedy and m_i % B:
-                    open_tiles.append([t0 + ntiles - 1, m_i % B])
-            else:
-                # best-fit: the open tile with the least remaining space that fits
-                best = None
-                for slot in open_tiles:
-                    rem = B - slot[1]
-                    if m_i <= rem and (best is None or rem < B - best[1]):
-                        best = slot
-                if best is None:
-                    best = [tile_cursor, 0]
-                    open_tiles.append(best)
-                    tile_cursor += 1
-                placements.append((best[0], best[1], blk))
-                base = best[0] * B + best[1]
-                best[1] += m_i
-            flat_idx_by_block[(c, bi)] = np.arange(base, base + m_i,
-                                                   dtype=np.int64)
-
-        chrom_sizes.append(c_size)
-        chrom_block_range.append((c_first_tile, tile_cursor))
-
-    # flat indices in original variant order:
-    flat_idx_parts = [flat_idx_by_block[(c, bi)]
-                      for c in chroms for bi in range(len(chrom_blocks[c]))]
-    nb = tile_cursor
-    layout = BlockLayout(chromosomes=chroms,
-                         chrom_sizes=chrom_sizes,
-                         chrom_block_range=chrom_block_range,
-                         flat_index=np.concatenate(flat_idx_parts) if flat_idx_parts
-                         else np.zeros(0, np.int64),
-                         block_size=B, nb=nb)
+    layout, placements = plan_layout(
+        {c: [blk.shape[0] for blk in blocks]
+         for c, blocks in chrom_blocks.items()},
+        block_size=B, greedy=greedy)
+    nb = layout.nb
 
     # ---- fill tiles ----
     store_dtype = np.int8 if quantize else dtype
     diag = np.zeros((nb, B, B), dtype=store_dtype)
     off_tiles = {}
 
-    for tile_start, o, blk in placements:
-        m_i = blk.shape[0]
+    for tile_start, o, c, bi, m_i in placements:
+        blk = chrom_blocks[c][bi]
+        assert blk.shape == (m_i, m_i)
         vals = quantize_int8(blk) if quantize else blk.astype(dtype)
         if o > 0 or m_i <= B - o:
             diag[tile_start, o:o + m_i, o:o + m_i] = vals

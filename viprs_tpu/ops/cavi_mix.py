@@ -149,33 +149,128 @@ def cavi_sweep_mixture(ld: BlockLD, state: MixState, std_beta, n_per_snp,
     return new_state, new_state.eta - eta0
 
 
+def _mix_block_tile_loop_batch(D_b, beta_b, n_b, mask_b, gamma_b, mu_b,
+                               eta_b, q_b, hyper: MixHyper, active, scale,
+                               tile, n_tiles, inner_steps):
+    """Grid-batched tile loop: the lane axis S rides INSIDE the block loop so
+    the LD tiles stream ONCE per sweep for all lanes and the rank-T q-update
+    is an (S, T) @ (T, B) MXU matmul (lane-outside vmapping re-reads the LD
+    per lane and lowers to VPU-sized ops — measured ~6x slower at S=20).
+
+    gamma_b/mu_b: (S, K, B); eta_b/q_b: (S, B); D_b: (B, B);
+    hyper: sigma_eps/lambda_min (S,), tau_beta/pi (S, K); active: (S,) f32.
+    """
+    S, K = gamma_b.shape[0], gamma_b.shape[1]
+    act = active.astype(F32)[:, None]              # (S,1)
+    on = (act > 0.0).astype(F32)
+    sig_e = hyper.sigma_eps[:, None, None]         # (S,1,1)
+    tau_b = hyper.tau_beta[:, :, None]             # (S,K,1)
+    lam = hyper.lambda_min[:, None, None]
+    pi_ = hyper.pi[:, :, None]
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+    log_null_pi = jnp.log1p(-jnp.sum(hyper.pi, axis=1))[:, None]   # (S,1)
+
+    def body(t, carry):
+        gamma_b, mu_b, eta_b, q_b = carry
+        idx = t * tile
+
+        q_t = lax.dynamic_slice(q_b, (0, idx), (S, tile))
+        eta_t = lax.dynamic_slice(eta_b, (0, idx), (S, tile))
+        n_t = lax.dynamic_slice(n_b, (idx,), (tile,))[None, None, :]
+        beta_t = lax.dynamic_slice(beta_b, (idx,), (tile,))[None, :]
+        mask_t = lax.dynamic_slice(mask_b, (idx,), (tile,))[None, :]
+        g_t = lax.dynamic_slice(gamma_b, (0, 0, idx), (S, K, tile))
+        mu_t = lax.dynamic_slice(mu_b, (0, 0, idx), (S, K, tile))
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b          # (S,K,T)
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=1)      # (S,T)
+
+        D_rows = lax.dynamic_slice(D_b, (idx, 0), (tile, D_b.shape[1]))
+        R_tt = lax.dynamic_slice(D_rows, (0, idx), (tile, tile))
+        R_abs = jnp.abs(R_tt.astype(F32))
+        if scale != 1.0:
+            R_abs = R_abs * F32(scale)
+        R_abs_diag = jnp.diagonal(R_abs)[None, :]
+
+        g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
+        for step in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t[:, None] - q_cur[:, None, :])
+            u = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star          # (S,K,T)
+
+            u_max = jnp.maximum(jnp.max(u, axis=1), log_null_pi)   # (S,T)
+            exp_u = jnp.exp(u - u_max[:, None, :])
+            denom = exp_u.sum(axis=1) + jnp.exp(log_null_pi - u_max)
+            g_star = exp_u / denom[:, None, :]                     # (S,K,T)
+
+            # gamma-weighted within-tile under-relaxation, recomputed every
+            # inner pass (see the scalar kernel's correctness note):
+            pip_star = jnp.sum(g_star, axis=1)                     # (S,T)
+            coupling = _dequant_matmul(pip_star * mu_mult_max, R_abs, 1.0)
+            coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+            w = (act / (1.0 + coupling))[:, None, :]               # (S,1,T)
+
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = jnp.sum(g_cur * mu_cur, axis=1)              # (S,T)
+            d_in = (eta_new - eta_cur) * mask_t * on
+            q_cur = q_cur + _dequant_matmul(d_in, R_tt, scale) - d_in
+            eta_cur = eta_cur + d_in
+
+        d_t = (eta_cur - eta_t) * mask_t * on                      # (S,T)
+
+        gamma_b = lax.dynamic_update_slice(gamma_b, g_cur, (0, 0, idx))
+        mu_b = lax.dynamic_update_slice(mu_b, mu_cur, (0, 0, idx))
+        eta_b = lax.dynamic_update_slice(eta_b, eta_t + d_t, (0, idx))
+
+        q_b = q_b + _dequant_matmul(d_t, D_rows, scale)
+        q_tt = lax.dynamic_slice(q_b, (0, idx), (S, tile))
+        q_b = lax.dynamic_update_slice(q_b, q_tt - d_t, (0, idx))
+
+        return gamma_b, mu_b, eta_b, q_b
+
+    return lax.fori_loop(0, n_tiles, body, (gamma_b, mu_b, eta_b, q_b))
+
+
 @partial(jax.jit, static_argnames=('tile', 'inner_steps'))
 def cavi_sweep_mixture_batch(ld: BlockLD, state: MixState, std_beta,
                              n_per_snp, hyper: MixHyper, active,
                              tile: int = 128, inner_steps: int = 8):
     """Grid-batched mixture sweep: S hyperparameter settings advance
     simultaneously (the mixture analog of the vmapped grid axis /
-    ``e_step_grid``, e_step.hpp:555-647).
+    ``e_step_grid``, e_step.hpp:555-647). Lanes ride inside the tile loop —
+    one LD stream serves all S lanes (see _mix_block_tile_loop_batch).
 
     State: gamma/mu (S, K, NB, B); eta/q (S, NB, B).
     Hyper: sigma_eps/lambda_min (S,); tau_beta/pi (S, K).
     active: (S,) f32 — converged-lane masking (0 freezes; <1 damps).
     Returns (new_state, eta_diff) with eta_diff (S, NB, B).
     """
+    B = ld.block_size
+    assert B % tile == 0
+    n_tiles = B // tile
     eta0 = state.eta
+    act = active.astype(F32)
 
-    def per_lane(gamma, mu, eta, q, hy, act):
-        st = MixState(gamma=gamma, mu=mu, eta=eta, q=q)
-        return _sweep_mixture_impl(ld, st, std_beta, n_per_snp, hy, act,
-                                   tile, inner_steps)
+    def per_block(D_b, beta_b, n_b, mask_b, gamma_b, mu_b, eta_b, q_b):
+        return _mix_block_tile_loop_batch(D_b, beta_b, n_b, mask_b,
+                                          gamma_b, mu_b, eta_b, q_b,
+                                          hyper, act, ld.scale, tile,
+                                          n_tiles, inner_steps)
 
-    out = jax.vmap(per_lane, in_axes=(0, 0, 0, 0, 0, 0))(
-        state.gamma, state.mu, state.eta, state.q,
-        MixHyper(sigma_eps=hyper.sigma_eps, tau_beta=hyper.tau_beta,
-                 pi=hyper.pi, lambda_min=hyper.lambda_min),
-        active.astype(F32))
-    new_state = MixState(*out)
-    return new_state, new_state.eta - eta0
+    gamma, mu, eta, q = jax.vmap(
+        per_block,
+        in_axes=(0, 0, 0, 0, 2, 2, 1, 1),
+        out_axes=(2, 2, 1, 1),
+    )(ld.diag, std_beta, n_per_snp, ld.mask, state.gamma, state.mu,
+      state.eta, state.q)
+
+    eta_diff = eta - eta0
+    if ld.n_off > 0:
+        q = q + _off_contrib(ld, eta_diff)
+
+    return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
 
 
 def _sweep_mixture_impl(ld, state, std_beta, n_per_snp, hyper, active,
