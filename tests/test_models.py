@@ -280,6 +280,26 @@ class TestVIPRSMixGrid:
         assert pip.shape == (dataset.m,)
         assert np.all((pip >= 0) & (pip <= 1 + 1e-6))
 
+    def test_chunked_equals_fused_mix_grid(self, dataset):
+        """Chunked runs carry the ladder counters, so a chunk size of 25 is
+        iteration-for-iteration identical to one fused dispatch (incl. the
+        compacted-lane sub-runs)."""
+        from viprs_tpu.model.mix_grid import VIPRSMixGrid
+        np.random.seed(8)
+        grid = HyperparameterGrid(pi_steps=4, n_snps=dataset.m,
+                                  h2_est=0.3, h2_se=0.05)
+        g1 = VIPRSMixGrid(dataset, grid, K=2)
+        g1.fit(max_iter=200)
+        np.random.seed(8)
+        g2 = VIPRSMixGrid(dataset, grid, K=2)
+        g2.fit(max_iter=200, chunk_iters=25)
+        np.testing.assert_allclose(np.asarray(g2.elbo()),
+                                   np.asarray(g1.elbo()), rtol=1e-12)
+        np.testing.assert_array_equal(g2._nit, g1._nit)
+        assert len(g1.history['ELBO']) == len(g2.history['ELBO'])
+        np.testing.assert_allclose(np.asarray(g2.history['ELBO']),
+                                   np.asarray(g1.history['ELBO']), rtol=1e-12)
+
     def test_pumas_pseudo_validation_selection(self, dataset):
         from viprs_tpu.model.mix_grid import VIPRSMixGrid
         from viprs_tpu.gridsearch import select_best_model

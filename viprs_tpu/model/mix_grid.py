@@ -173,14 +173,14 @@ class VIPRSMixGrid(VIPRSMix):
     # ----------------------------------------------------------------- fit
     def fit(self, max_iter=1000, theta_0=None, param_0=None, continued=False,
             min_iter=3, f_abs_tol=1e-6, x_abs_tol=1e-6, patience=10,
-            max_restarts=1, **kwargs):
+            max_restarts=1, chunk_iters=None, **kwargs):
         if self.n_models == 1:
             return super().fit(max_iter=max_iter, theta_0=theta_0,
                                param_0=param_0, continued=continued,
                                min_iter=min_iter, f_abs_tol=f_abs_tol,
                                x_abs_tol=x_abs_tol, patience=patience,
                                max_restarts=max_restarts, **kwargs)
-        from ..ops.mix_em_loop import mix_em_fit_batch
+        from ..ops import mix_em_loop as mel
 
         self._refresh_inputs()
         if not continued:
@@ -188,44 +188,135 @@ class VIPRSMixGrid(VIPRSMix):
         self.history.setdefault('ELBO', [])
         S = self.n_models
 
+        # Chunked fused loop with lane compaction (the same driver shape as
+        # VIPRS.fit): most lanes converge early; re-running only the
+        # survivors at the next power-of-2 width keeps the straggler tail
+        # from costing full-width sweeps. Ladder counters carry across
+        # chunks, so the trajectory equals one fused dispatch.
+        if chunk_iters is None:
+            chunk_iters = min(100, max_iter) if S >= 8 else max_iter
+        chunk_iters = max(1, min(chunk_iters, max_iter))
+
         restarts = 0
-        active0 = None
+        active = np.ones(S, bool)
         statuses = np.full(S, opt.MAX_ITER, dtype=np.int32)
-        while True:
+        nit_acc = np.zeros(S, dtype=np.int32)
+        final_elbo = np.zeros(S, dtype=np.float64)
+        counters = mel.init_mix_counters(S)
+        init_elbo = None       # first chunk computes it in-graph
+        it_done = 0
+        S_run = S
+
+        def sub_fix(fx, sel_dev):
+            from ..ops.mix_em_loop import MixFixBatch
+            return MixFixBatch(*(jnp.take(jnp.asarray(x), sel_dev, axis=0)
+                                 for x in fx))
+
+        while it_done < max_iter:
+            this_chunk = min(chunk_iters, max_iter - it_done)
+            n_act = int(active.sum())
+
+            bucket = min(S, 1 << max(0, int(np.ceil(np.log2(max(n_act, 1))))))
+            if init_elbo is None:
+                bucket = S      # no per-lane carry yet — run full width
+            if bucket > S_run:
+                S_run = bucket
+            elif S >= 8 and bucket <= S_run // 4:
+                S_run = bucket
+            compact = S_run < S
+
+            fix_full = self._batch_fix()
+            if compact:
+                sel = np.nonzero(active)[0]
+                sel_pad = np.concatenate(
+                    [sel, np.full(S_run - n_act, sel[0])]).astype(np.int64)
+                sel_dev = jnp.asarray(sel_pad)
+
+                def sub(x):
+                    return jnp.take(jnp.asarray(x), sel_dev, axis=0)
+                state_in = MixState(*(sub(x) for x in self._state))
+                hyper_in = MixHyper(*(sub(x)
+                                      for x in self._batch_hyper_f32()))
+                fix_in = sub_fix(fix_full, sel_dev)
+                counters_in = mel.MixCounters(*(sub(x) for x in counters))
+                init_elbo_in = init_elbo[sel_pad]
+                active_in = jnp.asarray(np.arange(S_run) < n_act)
+                sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
+            else:
+                state_in, hyper_in = self._state, self._batch_hyper_f32()
+                fix_in, counters_in = fix_full, counters
+                init_elbo_in = init_elbo
+                active_in = jnp.asarray(active)
+                sigma_g_in = np.atleast_1d(self._sigma_g)
+
             with self._mesh_context():
-                res = mix_em_fit_batch(
-                    self._ld, self._state, self._std_beta_flat, self._n_flat,
-                    self._batch_hyper_f32(), self._batch_fix(),
-                    jnp.asarray(self.d, F32),
+                res = mel.mix_em_fit_batch(
+                    self._ld, state_in, self._std_beta_flat, self._n_flat,
+                    hyper_in, fix_in, jnp.asarray(self.d, F32),
                     n_sample=float(self.n), m_total=float(self.m),
-                    max_iter=max_iter, min_iter=min_iter,
+                    max_iter=this_chunk, min_iter=min_iter,
                     f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
                     patience=patience, tile=self.tile,
-                    active0=active0,
-                    sigma_g0=jnp.asarray(np.atleast_1d(self._sigma_g),
-                                         jnp.float64))
+                    active0=active_in,
+                    sigma_g0=jnp.asarray(sigma_g_in, jnp.float64),
+                    i0=it_done, counters0=counters_in,
+                    init_elbo=init_elbo_in)
 
-            self._state = res.state
             (hyper_np, sg_np, status_np, nit_np, n_total_np, fe_np,
              hist_dev) = jax.device_get(
                 (res.hyper, res.sigma_g, res.status, res.nit,
                  res.n_iter_total, res.final_elbo, res.elbo_hist))
-            self._hyper = MixHyper(*(np.asarray(x, dtype=np.float64)
-                                     for x in hyper_np))
-            self._sigma_g = np.asarray(sg_np, dtype=np.float64)
-            entered = np.ones(S, bool) if active0 is None \
-                else np.asarray(active0)
-            statuses[entered] = status_np[entered]
-            self._final_elbo = np.asarray(fe_np, dtype=np.float64)
-            self._nit = np.asarray(nit_np)
-            n_total = int(n_total_np)
-            hist = np.asarray(hist_dev)
-            if not self.history['ELBO']:
-                self.history['ELBO'].append(hist[0].copy())
-            self.history['ELBO'].extend(list(hist[1:n_total + 1]))
+            n_in_chunk = int(n_total_np)
+            it_done += n_in_chunk
+
+            if compact:
+                sel_j = jnp.asarray(sel)
+
+                def scat(full, part):
+                    return jnp.asarray(full).at[sel_j].set(part[:n_act])
+                self._state = MixState(
+                    *(scat(f, p) for f, p in zip(self._state, res.state)))
+                hyper_host = {f: np.asarray(getattr(self._hyper, f),
+                                            dtype=np.float64).copy()
+                              for f in self._hyper._fields}
+                for i, f in enumerate(self._hyper._fields):
+                    hyper_host[f][sel] = np.asarray(
+                        hyper_np[i], dtype=np.float64)[:n_act]
+                self._hyper = MixHyper(**hyper_host)
+                sg = np.atleast_1d(np.asarray(self._sigma_g,
+                                              dtype=np.float64)).copy()
+                sg[sel] = np.asarray(sg_np, dtype=np.float64)[:n_act]
+                self._sigma_g = sg
+                counters = mel.MixCounters(
+                    *(scat(f, p) for f, p in zip(counters, res.counters)))
+                statuses = statuses.copy()
+                statuses[sel] = status_np[:n_act]
+                nit_acc[sel] = nit_np[:n_act]
+                fe = init_elbo.copy()
+                fe[sel] = np.asarray(fe_np, dtype=np.float64)[:n_act]
+                for row in np.asarray(hist_dev)[1:n_in_chunk + 1]:
+                    full_row = init_elbo.copy()
+                    full_row[sel] = row[:n_act]
+                    self.history['ELBO'].append(full_row)
+                init_elbo = fe
+            else:
+                self._state = res.state
+                self._hyper = MixHyper(*(np.asarray(x, dtype=np.float64)
+                                         for x in hyper_np))
+                self._sigma_g = np.asarray(sg_np, dtype=np.float64)
+                counters = res.counters
+                statuses = statuses.copy()
+                statuses[active] = status_np[active]
+                nit_acc[active] = nit_np[active]
+                hist = np.asarray(hist_dev)
+                if init_elbo is None and not self.history['ELBO']:
+                    self.history['ELBO'].append(hist[0].copy())
+                self.history['ELBO'].extend(list(hist[1:n_in_chunk + 1]))
+                init_elbo = np.asarray(fe_np, dtype=np.float64)
+            final_elbo = init_elbo
 
             restart_mask = (statuses == opt.MSE_NEGATIVE) \
-                & ~np.asarray(self._batch_fix().sigma_eps) \
+                & ~np.asarray(fix_full.sigma_eps) \
                 & (restarts < max_restarts)
             if restart_mask.any():
                 restarts += 1
@@ -233,10 +324,21 @@ class VIPRSMixGrid(VIPRSMix):
                             "with sigma_epsilon fixed at 0.95 (reference "
                             "behavior).", int(restart_mask.sum()))
                 self._restart_lanes(restart_mask, theta_0)
-                active0 = jnp.asarray(restart_mask
-                                      | (statuses == opt.MAX_ITER))
+                fresh = mel.init_mix_counters(S)
+                mask_dev = jnp.asarray(restart_mask)
+                counters = mel.MixCounters(
+                    *(jnp.where(mask_dev, f, c)
+                      for f, c in zip(fresh, counters)))
+                active = restart_mask | (statuses == opt.MAX_ITER)
+                init_elbo = None    # restarted lanes: recompute in-graph
                 continue
-            break
+
+            active = statuses == opt.MAX_ITER
+            if not active.any():
+                break
+
+        self._final_elbo = final_elbo
+        self._nit = nit_acc
 
         self.optim_results = summarize_statuses(statuses, self._final_elbo,
                                                 self._nit)

@@ -227,6 +227,29 @@ class MixFixBatch(NamedTuple):
     total_pi: jnp.ndarray    # (S,) f64; >0 => renormalize pi to this total
 
 
+class MixCounters(NamedTuple):
+    """Convergence-ladder state carried across chunked mix_em_fit_batch
+    calls (the mixture analog of em_loop.EMCounters)."""
+    prev_dropped: jnp.ndarray    # (S,) bool
+    osc_counter: jnp.ndarray     # (S,) i32
+    best_elbo: jnp.ndarray       # (S,) f64
+    stall_counter: jnp.ndarray   # (S,) i32
+    sigma_g_counter: jnp.ndarray  # (S,) i32
+    div_counter: jnp.ndarray     # (S,) i32
+    damping: jnp.ndarray         # (S,) f32
+
+
+def init_mix_counters(S) -> MixCounters:
+    return MixCounters(
+        prev_dropped=jnp.zeros(S, bool),
+        osc_counter=jnp.zeros(S, I32),
+        best_elbo=jnp.full(S, -jnp.inf, F64),
+        stall_counter=jnp.zeros(S, I32),
+        sigma_g_counter=jnp.zeros(S, I32),
+        div_counter=jnp.zeros(S, I32),
+        damping=jnp.ones(S, F32))
+
+
 class MixEMBatchResult(NamedTuple):
     state: MixState          # (S, K, NB, B) / (S, NB, B)
     hyper: MixHyper          # (S,) / (S, K) float64
@@ -237,6 +260,7 @@ class MixEMBatchResult(NamedTuple):
     n_iter_total: jnp.ndarray
     final_elbo: jnp.ndarray  # (S,) f64
     final_mse: jnp.ndarray   # (S,) f64
+    counters: MixCounters
 
 
 def _mix_stats_batch(state: MixState, var_tau, std_beta, mask):
@@ -264,7 +288,10 @@ def mix_em_fit_batch(ld: BlockLD,
                      tile: int = 128,
                      inner_steps: int = 8,
                      active0=None,
-                     sigma_g0=None):
+                     sigma_g0=None,
+                     i0=0,
+                     counters0: MixCounters = None,
+                     init_elbo=None):
     """Fused grid-batched mixture EM: all S settings advance together with
     converged-lane masking; the initial objective is computed in-graph.
 
@@ -273,6 +300,10 @@ def mix_em_fit_batch(ld: BlockLD,
     ``active0``: (S,) bool — lanes to optimize (None = all; the host restart
     pass re-runs only the restarted + unfinished lanes).
     ``sigma_g0``: (S,) f64 carry for re-entrant calls (None = zeros).
+    ``i0`` / ``counters0`` / ``init_elbo``: chunked-run carries (global
+    iteration offset, ladder counters, previous chunk's final objective) —
+    with them a chunked run is iteration-for-iteration identical to one
+    fused dispatch (the same contract as ops/em_loop.em_fit).
     """
     from .cavi_mix import cavi_sweep_mixture_batch, mix_var_tau
 
@@ -324,15 +355,20 @@ def mix_em_fit_batch(ld: BlockLD,
                     else jnp.asarray(sigma_g0, F64))
     active_init = (jnp.ones(S, bool) if active0 is None
                    else jnp.asarray(active0, bool))
+    i0 = jnp.asarray(i0, I32)
+    ctr = counters0 if counters0 is not None else init_mix_counters(S)
 
-    # in-graph initial objective (history slot 0):
-    hy0 = h32(hyper64)
-    vt0 = batch_var_tau(hy0)
-    stats0 = _mix_stats_batch(state0, vt0, std_beta, mask)
-    init_elbo = jax.vmap(
-        lambda st, hy, fse, sg: _mix_elbo(st, hy, fse, sg,
-                                          n_sample, m_total, d64))(
-        stats0, hy0, fix.sigma_eps, sigma_g_init)
+    if init_elbo is None:
+        # in-graph initial objective (history slot 0):
+        hy0 = h32(hyper64)
+        vt0 = batch_var_tau(hy0)
+        stats0 = _mix_stats_batch(state0, vt0, std_beta, mask)
+        init_elbo = jax.vmap(
+            lambda st, hy, fse, sg: _mix_elbo(st, hy, fse, sg,
+                                              n_sample, m_total, d64))(
+            stats0, hy0, fix.sigma_eps, sigma_g_init)
+    else:
+        init_elbo = jnp.asarray(init_elbo, F64)
 
     elbo_hist = jnp.full((max_iter + 1, S), jnp.nan, dtype=F64)
     elbo_hist = elbo_hist.at[0].set(init_elbo)
@@ -343,13 +379,13 @@ def mix_em_fit_batch(ld: BlockLD,
                  status=jnp.full(S, opt.RUNNING, I32),
                  nit=jnp.zeros(S, I32),
                  prev_elbo=init_elbo,
-                 prev_dropped=jnp.zeros(S, bool),
-                 osc_counter=jnp.zeros(S, I32),
-                 best_elbo=jnp.full(S, -jnp.inf, F64),
-                 stall_counter=jnp.zeros(S, I32),
-                 sigma_g_counter=jnp.zeros(S, I32),
-                 div_counter=jnp.zeros(S, I32),
-                 damping=jnp.ones(S, F32),
+                 prev_dropped=ctr.prev_dropped,
+                 osc_counter=ctr.osc_counter,
+                 best_elbo=ctr.best_elbo,
+                 stall_counter=ctr.stall_counter,
+                 sigma_g_counter=ctr.sigma_g_counter,
+                 div_counter=ctr.div_counter,
+                 damping=ctr.damping,
                  elbo_hist=elbo_hist)
 
     def cond(c):
@@ -357,6 +393,7 @@ def mix_em_fit_batch(ld: BlockLD,
 
     def body(c):
         i = c['i'] + 1
+        gi = i0 + i          # global iteration (chunk-aware)
         hy = h32(c['hyper'])
         act_f = c['active'].astype(F32) * c['damping']
 
@@ -373,7 +410,7 @@ def mix_em_fit_batch(ld: BlockLD,
         max_ed = jnp.max(jnp.abs(eta_diff) * mask[None], axis=(1, 2))
 
         # --- patience / damping ladder (mirrors ops/em_loop.py) ---
-        sigg_cond = ((i > min_iter)
+        sigg_cond = ((gi > min_iter)
                      & (jnp.abs(sigma_g - c['sigma_g']) <= x_abs_tol)
                      & (max_ed < x_abs_tol * 10.0))
         sigma_g_counter = jnp.where(sigg_cond, c['sigma_g_counter'] + 1, 0)
@@ -410,9 +447,9 @@ def mix_em_fit_batch(ld: BlockLD,
                             opt.H2_OUT_OF_BOUNDS)
         status = set_status(
             status,
-            (i > min_iter) & (jnp.abs(curr_elbo - c['prev_elbo']) <= f_abs_tol),
+            (gi > min_iter) & (jnp.abs(curr_elbo - c['prev_elbo']) <= f_abs_tol),
             opt.CONVERGED_F)
-        status = set_status(status, (i > min_iter) & (max_ed < x_abs_tol),
+        status = set_status(status, (gi > min_iter) & (max_ed < x_abs_tol),
                             opt.CONVERGED_X)
         status = set_status(status, sigma_g_counter > patience,
                             opt.CONVERGED_SIGMA_G)
@@ -421,7 +458,7 @@ def mix_em_fit_batch(ld: BlockLD,
         newly_done = c['active'] & (status != opt.RUNNING)
         status = jnp.where(newly_done, status, c['status'])
         active = c['active'] & ~newly_done
-        nit = jnp.where(c['active'], i, c['nit'])
+        nit = jnp.where(c['active'], gi, c['nit'])
 
         hist = lax.dynamic_update_slice(c['elbo_hist'], curr_elbo[None, :],
                                         (i, jnp.asarray(0, I32)))
@@ -445,4 +482,12 @@ def mix_em_fit_batch(ld: BlockLD,
     return MixEMBatchResult(state=c['state'], hyper=c['hyper'],
                             sigma_g=c['sigma_g'], status=status, nit=c['nit'],
                             elbo_hist=c['elbo_hist'], n_iter_total=c['i'],
-                            final_elbo=c['prev_elbo'], final_mse=final_mse)
+                            final_elbo=c['prev_elbo'], final_mse=final_mse,
+                            counters=MixCounters(
+                                prev_dropped=c['prev_dropped'],
+                                osc_counter=c['osc_counter'],
+                                best_elbo=c['best_elbo'],
+                                stall_counter=c['stall_counter'],
+                                sigma_g_counter=c['sigma_g_counter'],
+                                div_counter=c['div_counter'],
+                                damping=c['damping']))
