@@ -150,6 +150,62 @@ def test_mixture_pallas_matches_xla_interpret(problem, monkeypatch):
                                atol=1e-5)
 
 
+def test_mixture_batch_pallas_matches_xla_interpret(problem, monkeypatch):
+    """The grid-batched Pallas mixture kernel (lanes + components VMEM-
+    resident, one LD stream) must reproduce the XLA batched mixture sweep,
+    including frozen (active=0) and damped (0<active<1) lanes."""
+    from viprs_tpu.ops import cavi_pallas
+    from viprs_tpu.ops.cavi_mix import (MixState, MixHyper,
+                                        cavi_sweep_mixture_batch)
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    S, K = 4, 3
+    nb, B = lay.nb, 128
+    rng = np.random.default_rng(7)
+    pis = rng.uniform(0.005, 0.05, size=(S, K)).astype(np.float32)
+    gamma = jnp.asarray(np.broadcast_to(pis[:, :, None, None],
+                                        (S, K, nb, B)), jnp.float32)
+    state = MixState(gamma=gamma,
+                     mu=jnp.asarray(rng.normal(0, 1e-3, (S, K, nb, B)),
+                                    jnp.float32),
+                     eta=jnp.zeros((S, nb, B), jnp.float32),
+                     q=jnp.zeros((S, nb, B), jnp.float32))
+    hyper = MixHyper(
+        sigma_eps=jnp.asarray(rng.uniform(0.6, 0.9, S), jnp.float32),
+        tau_beta=jnp.asarray(rng.uniform(300, 3000, (S, K)), jnp.float32),
+        pi=jnp.asarray(pis),
+        lambda_min=jnp.zeros(S, jnp.float32))
+    active = jnp.asarray([1.0, 0.0, 0.5, 1.0], jnp.float32)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+    out_p, diff_p = cavi_pallas.cavi_sweep_mixture_pallas_batch.__wrapped__(
+        ld, state, sb, nf, hyper, active, tile=64)
+
+    out_x, diff_x = cavi_sweep_mixture_batch(ld, state, sb, nf, hyper,
+                                             active, tile=64)
+
+    np.testing.assert_allclose(np.asarray(out_p.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.gamma),
+                               np.asarray(out_x.gamma), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.mu), np.asarray(out_x.mu),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(diff_p), np.asarray(diff_x),
+                               atol=1e-5)
+    # frozen lane untouched:
+    np.testing.assert_array_equal(np.asarray(out_p.eta[1]),
+                                  np.asarray(state.eta[1]))
+
+
 def test_skip_kernel_matches_xla_interpret(problem, monkeypatch):
     """The active-block-compacted skipping kernel: active blocks must match the
     XLA sweep; quiescent blocks must pass through bit-exactly."""

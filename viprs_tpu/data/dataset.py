@@ -74,6 +74,24 @@ class SummaryStatsDataset:
             self.layout.to_flat(self.n_per_snp).reshape(self.layout.nb, self.layout.block_size),
             dtype=jnp.float32)
 
+    def device_inputs(self, mesh=None):
+        """Cached (std_beta_flat, n_per_snp_flat) device arrays, padded and
+        block-sharded for ``mesh``. Shared across models over this dataset —
+        a fresh model otherwise re-uploads ~9 MB per fit on remote
+        transports (PUMAS-split models build their own; see
+        VIPRS._refresh_inputs)."""
+        key = ('inputs', mesh)
+        if key not in self._mesh_ld_cache:
+            sb = self.std_beta_flat()
+            nf = self.n_per_snp_flat()
+            if mesh is not None:
+                from ..parallel.mesh import shard_flat
+                nb = self.ld_for_mesh(mesh).nb
+                sb = shard_flat(mesh, sb, nb)
+                nf = shard_flat(mesh, nf, nb)
+            self._mesh_ld_cache[key] = (sb, nf)
+        return self._mesh_ld_cache[key]
+
     def ld_for_mesh(self, mesh):
         """Block-sharded (and NB-padded) view of the LD for a device mesh.
 

@@ -64,7 +64,14 @@ class VIPRSMix(BayesPRSModel):
 
     def _refresh_inputs(self):
         """(Re)build the flat device inputs from the current std_beta /
-        n_per_snp dicts (these change under PUMAS splitting)."""
+        n_per_snp dicts (these change under PUMAS splitting). Untouched
+        dataset views come from the dataset's shared device cache (see
+        VIPRS._refresh_inputs)."""
+        from .viprs import VIPRS
+        if VIPRS._inputs_are_dataset_views(self):
+            self._std_beta_flat, self._n_flat = \
+                self.dataset.device_inputs(self.mesh)
+            return
         lay = self.dataset.layout
         sb = jnp.asarray(
             lay.to_flat(self.std_beta).reshape(lay.nb, lay.block_size), F32)

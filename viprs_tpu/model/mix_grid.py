@@ -197,6 +197,13 @@ class VIPRSMixGrid(VIPRSMix):
             chunk_iters = min(100, max_iter) if S >= 8 else max_iter
         chunk_iters = max(1, min(chunk_iters, max_iter))
 
+        # The Pallas batched mixture kernel (VMEM-resident (S, K) state, one
+        # LD stream for all lanes) wins on real TPU hardware; the XLA path
+        # serves CPU meshes and tiny grids:
+        import jax as _jax
+        on_tpu = _jax.default_backend() in ('tpu', 'axon')
+        use_pallas_full = on_tpu and S * self.K >= 8
+
         restarts = 0
         active = np.ones(S, bool)
         statuses = np.full(S, opt.MAX_ITER, dtype=np.int32)
@@ -221,7 +228,10 @@ class VIPRSMixGrid(VIPRSMix):
                 bucket = S      # no per-lane carry yet — run full width
             if bucket > S_run:
                 S_run = bucket
-            elif S >= 8 and bucket <= S_run // 4:
+            elif S >= 8 and bucket <= S_run // 2:
+                # compact on any power-of-2 shrink: mixture grids are narrow
+                # (S ~ 20) and the straggler tail dominates, so halving the
+                # width pays for the (persistently cached) extra compiles
                 S_run = bucket
             compact = S_run < S
 
@@ -260,7 +270,9 @@ class VIPRSMixGrid(VIPRSMix):
                     active0=active_in,
                     sigma_g0=jnp.asarray(sigma_g_in, jnp.float64),
                     i0=it_done, counters0=counters_in,
-                    init_elbo=init_elbo_in)
+                    init_elbo=init_elbo_in,
+                    use_pallas=(on_tpu and S_run * self.K >= 8
+                                and self.mesh is None))
 
             (hyper_np, sg_np, status_np, nit_np, n_total_np, fe_np,
              hist_dev) = jax.device_get(

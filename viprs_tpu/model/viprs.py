@@ -135,7 +135,16 @@ class VIPRS(BayesPRSModel):
     def _refresh_inputs(self):
         """(Re)build the flat device inputs from the current std_beta/n_per_snp
         dicts (these change under PUMAS splitting). With a mesh, inputs are
-        padded to the sharded LD's NB and block-sharded alongside it."""
+        padded to the sharded LD's NB and block-sharded alongside it.
+
+        When the model's input dicts are untouched views of the dataset's
+        (the common case — no PUMAS split, no manual edits), the device
+        arrays come from the dataset's shared cache: fresh models pay no
+        re-upload (~9 MB / ~0.1 s per fit on the tunnel transport)."""
+        if self._inputs_are_dataset_views():
+            self._std_beta_flat, self._n_flat = \
+                self.dataset.device_inputs(self.mesh)
+            return
         lay = self.dataset.layout
         sb = jnp.asarray(
             lay.to_flat(self.std_beta).reshape(lay.nb, lay.block_size), F32)
@@ -147,6 +156,20 @@ class VIPRS(BayesPRSModel):
             nf = shard_flat(self.mesh, nf, self._ld.nb)
         self._std_beta_flat = sb
         self._n_flat = nf
+
+    def _inputs_are_dataset_views(self):
+        """True when std_beta/n_per_snp are the dataset's own arrays
+        (object identity — np.asarray(x, float64) on float64 input is a
+        no-copy passthrough in the base constructor)."""
+        ds = self.dataset
+        try:
+            return (self.validation_std_beta is None
+                    and all(self.std_beta[c] is ds.std_beta[c]
+                            for c in ds.std_beta)
+                    and all(self.n_per_snp[c] is ds.n_per_snp[c]
+                            for c in ds.n_per_snp))
+        except (KeyError, TypeError):
+            return False
 
     def infer_lambda_min(self):
         """Spectral regularizer: |min(0, smallest eigenvalue over LD blocks)|.

@@ -846,6 +846,171 @@ def cavi_sweep_mixture_pallas(ld: BlockLD, state, std_beta, n_per_snp,
     return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
 
 
+def _mix_sweep_kernel_batch(beta_ref, n_ref, mask_ref, hyper_ref,
+                            diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
+                            gamma_out, mu_out, eta_out, q_out,
+                            *, tile, n_tiles, scale, inner_steps):
+    """Grid-batched mixture sweep for one LD block (the Pallas analog of
+    cavi_mix._mix_block_tile_loop_batch): the S-lane axis and the K-component
+    axis both live in VMEM for the whole block — one HBM stream of the LD
+    tile serves every lane, and the rank-T q-update is an (S, T) @ (T, B)
+    MXU matmul.
+
+    diag_ref: (1, B, B) storage dtype; gamma/mu refs: (1, S, K, B);
+    eta/q refs: (1, S, B); hyper_ref: (8, S, K) f32 rows
+    [sigma_eps*, tau_beta, pi, active*, lambda*, log_null_pi*]
+    (* = broadcast along K)."""
+    sig_e = hyper_ref[0][:, :, None]              # (S, K, 1)
+    tau_b = hyper_ref[1][:, :, None]
+    pi_ = hyper_ref[2][:, :, None]
+    act = hyper_ref[3][:, 0][:, None]             # (S, 1)
+    lam = hyper_ref[4][:, :, None]
+    log_null_pi = hyper_ref[5][:, 0][:, None]     # (S, 1)
+    on = (act > 0.0).astype(F32)
+    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+
+    gamma_out[0] = gamma_ref[0]
+    mu_out[0] = mu_ref[0]
+    eta_out[0] = eta_ref[0]
+    q_out[0] = q_ref[0]
+
+    for t in range(n_tiles):
+        idx = t * tile
+        sl = pl.ds(idx, tile)
+        q_t = q_out[0, :, sl]                     # (S, T)
+        eta_t = eta_out[0, :, sl]
+        n_t = n_ref[0, 0, sl][None, None, :]      # (1, 1, T)
+        beta_t = beta_ref[0, 0, sl][None, :]      # (1, T)
+        mask_t = mask_ref[0, 0, sl][None, :]
+        g_t = gamma_out[0, :, :, sl]              # (S, K, T)
+        mu_t = mu_out[0, :, :, sl]
+
+        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b          # (S, K, T)
+        mu_mult_t = n_t / (var_tau_t * sig_e)
+        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=1)      # (S, T)
+
+        D_rows = diag_ref[0, sl, :].astype(F32)
+        R_tt = diag_ref[0, sl, sl].astype(F32)
+        if scale != 1.0:
+            R_tt = R_tt * F32(scale)
+        R_abs = jnp.abs(R_tt)
+        R_abs_diag = jnp.sum(R_abs * _eye(tile), axis=0)[None, :]
+
+        g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
+        for step in range(inner_steps):
+            mu_star = mu_mult_t * (beta_t[:, None, :] - q_cur[:, None, :])
+            u = base_logit - 0.5 * jnp.log(var_tau_t) \
+                + 0.5 * var_tau_t * mu_star * mu_star          # (S, K, T)
+            u_max = jnp.maximum(jnp.max(u, axis=1), log_null_pi)   # (S, T)
+            exp_u = jnp.exp(u - u_max[:, None, :])
+            denom = exp_u.sum(axis=1) + jnp.exp(log_null_pi - u_max)
+            g_star = exp_u / denom[:, None, :]                     # (S, K, T)
+
+            # gamma-weighted under-relaxation, recomputed every inner pass
+            # (the frozen-weight variant diverges at genome scale):
+            pip_star = jnp.sum(g_star, axis=1)                     # (S, T)
+            coupling = _row_matmul(pip_star * mu_mult_max, R_abs)
+            coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+            w = (act / (1.0 + coupling))[:, None, :]               # (S, 1, T)
+
+            g_cur = g_cur + w * (g_star - g_cur)
+            mu_cur = mu_cur + w * (mu_star - mu_cur)
+            eta_new = jnp.sum(g_cur * mu_cur, axis=1)              # (S, T)
+            d_in = (eta_new - eta_cur) * mask_t * on
+            q_cur = q_cur + _row_matmul(d_in, R_tt) - d_in
+            eta_cur = eta_cur + d_in
+
+        d_t = (eta_cur - eta_t) * mask_t * on                      # (S, T)
+
+        gamma_out[0, :, :, sl] = g_cur
+        mu_out[0, :, :, sl] = mu_cur
+        eta_out[0, :, sl] = eta_t + d_t
+
+        q_upd = _row_matmul(d_t, D_rows)
+        if scale != 1.0:
+            q_upd = q_upd * F32(scale)
+        q_out[0] = q_out[0] + q_upd
+        q_out[0, :, sl] = q_out[0, :, sl] - d_t
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'inner_steps'))
+def cavi_sweep_mixture_pallas_batch(ld: BlockLD, state, std_beta, n_per_snp,
+                                    hyper, active, tile: int = 128,
+                                    inner_steps: int = 8):
+    """Pallas grid-batched mixture sweep; same contract as
+    cavi_mix.cavi_sweep_mixture_batch (state: gamma/mu (S, K, NB, B),
+    eta/q (S, NB, B); hyper: sigma_eps/lambda_min (S,), tau_beta/pi (S, K);
+    active: (S,) f32)."""
+    from .cavi_mix import MixState
+
+    B = ld.block_size
+    NB = ld.nb
+    S, K = hyper.pi.shape
+    assert B % tile == 0
+    n_tiles = B // tile
+    eta0 = state.eta
+
+    bc = lambda x: jnp.broadcast_to(x.astype(F32)[:, None], (S, K))[None]
+    hyper_mat = jnp.concatenate([
+        bc(hyper.sigma_eps),
+        hyper.tau_beta.astype(F32)[None],
+        hyper.pi.astype(F32)[None],
+        bc(active),
+        bc(hyper.lambda_min),
+        bc(jnp.log1p(-jnp.sum(hyper.pi, axis=1))),
+        jnp.zeros((2, S, K), F32),
+    ])                                            # (8, S, K)
+
+    kernel = functools.partial(_mix_sweep_kernel_batch, tile=tile,
+                               n_tiles=n_tiles, scale=ld.scale,
+                               inner_steps=inner_steps)
+
+    skm_spec = pl.BlockSpec((1, S, K, B), lambda b: (b, b * 0, b * 0, b * 0),
+                            memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec((1, S, B), lambda b: (b, b * 0, b * 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, B), lambda b: (b, b * 0, b * 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((NB, S, K, B), F32),
+                  jax.ShapeDtypeStruct((NB, S, K, B), F32),
+                  jax.ShapeDtypeStruct((NB, S, B), F32),
+                  jax.ShapeDtypeStruct((NB, S, B), F32)]
+
+    to_nb = lambda x: jnp.transpose(x, (2, 0, 1, 3))  # (S,K,NB,B)->(NB,S,K,B)
+    to_nb2 = lambda x: jnp.transpose(x, (1, 0, 2))    # (S,NB,B)->(NB,S,B)
+    rowify = lambda x: x[:, None, :]
+
+    gamma, mu, eta, q = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((8, S, K), lambda b: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            skm_spec, skm_spec, sb_spec, sb_spec,
+        ],
+        out_specs=[skm_spec, skm_spec, sb_spec, sb_spec],
+        out_shape=out_shapes,
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+    )(rowify(std_beta), rowify(n_per_snp), rowify(ld.mask), hyper_mat, ld.diag,
+      to_nb(state.gamma), to_nb(state.mu), to_nb2(state.eta),
+      to_nb2(state.q))
+
+    gamma = jnp.transpose(gamma, (1, 2, 0, 3))
+    mu = jnp.transpose(mu, (1, 2, 0, 3))
+    eta = jnp.transpose(eta, (1, 0, 2))
+    q = jnp.transpose(q, (1, 0, 2))
+
+    eta_diff = eta - eta0
+    if ld.n_off > 0:
+        from .cavi_jax import _off_contrib
+        q = q + _off_contrib(ld, eta_diff)
+
+    return MixState(gamma=gamma, mu=mu, eta=eta, q=q), eta_diff
+
+
 def _mix_skip_kernel(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref, odst_ref,
                      hyper_ref, diag_hbm, off_hbm, consts_hbm, stack_in,
                      stack_out, cbuf, sbuf, dbuf, obuf,

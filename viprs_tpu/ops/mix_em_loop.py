@@ -271,7 +271,7 @@ def _mix_stats_batch(state: MixState, var_tau, std_beta, mask):
 
 
 @partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter',
-                                   'inner_steps'))
+                                   'inner_steps', 'use_pallas'))
 def mix_em_fit_batch(ld: BlockLD,
                      state0: MixState,
                      std_beta, n_per_snp,
@@ -291,7 +291,8 @@ def mix_em_fit_batch(ld: BlockLD,
                      sigma_g0=None,
                      i0=0,
                      counters0: MixCounters = None,
-                     init_elbo=None):
+                     init_elbo=None,
+                     use_pallas: bool = False):
     """Fused grid-batched mixture EM: all S settings advance together with
     converged-lane masking; the initial objective is computed in-graph.
 
@@ -397,9 +398,15 @@ def mix_em_fit_batch(ld: BlockLD,
         hy = h32(c['hyper'])
         act_f = c['active'].astype(F32) * c['damping']
 
-        state, eta_diff = cavi_sweep_mixture_batch(
-            ld, c['state'], std_beta, n_per_snp, hy, act_f,
-            tile=tile, inner_steps=inner_steps)
+        if use_pallas:
+            from .cavi_pallas import cavi_sweep_mixture_pallas_batch
+            state, eta_diff = cavi_sweep_mixture_pallas_batch(
+                ld, c['state'], std_beta, n_per_snp, hy, act_f,
+                tile=tile, inner_steps=inner_steps)
+        else:
+            state, eta_diff = cavi_sweep_mixture_batch(
+                ld, c['state'], std_beta, n_per_snp, hy, act_f,
+                tile=tile, inner_steps=inner_steps)
         vt = batch_var_tau(hy)
         stats = _mix_stats_batch(state, vt, std_beta, mask)
         hyper, sigma_g, curr_elbo, curr_mse = m_step_elbo(
