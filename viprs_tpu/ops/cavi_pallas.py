@@ -849,25 +849,31 @@ def cavi_sweep_mixture_pallas(ld: BlockLD, state, std_beta, n_per_snp,
 def _mix_sweep_kernel_batch(beta_ref, n_ref, mask_ref, hyper_ref,
                             diag_ref, gamma_ref, mu_ref, eta_ref, q_ref,
                             gamma_out, mu_out, eta_out, q_out,
-                            *, tile, n_tiles, scale, inner_steps):
+                            *, K, tile, n_tiles, scale, inner_steps):
     """Grid-batched mixture sweep for one LD block (the Pallas analog of
     cavi_mix._mix_block_tile_loop_batch): the S-lane axis and the K-component
     axis both live in VMEM for the whole block — one HBM stream of the LD
     tile serves every lane, and the rank-T q-update is an (S, T) @ (T, B)
     MXU matmul.
 
-    diag_ref: (1, B, B) storage dtype; gamma/mu refs: (1, S, K, B);
-    eta/q refs: (1, S, B); hyper_ref: (8, S, K) f32 rows
+    Layout note: K is the LEADING dim, statically unrolled in Python — every
+    vector op then runs on full (S, T) tiles. Putting K on the sublane axis
+    ((S, K, T) arrays) looped S times over 3-of-8-sublane tiles and measured
+    ~6x slower at S=20, K=3.
+
+    diag_ref: (1, B, B) storage dtype; gamma/mu refs: (1, K, S, B);
+    eta/q refs: (1, S, B); hyper_ref: (8, K, S) f32 rows
     [sigma_eps*, tau_beta, pi, active*, lambda*, log_null_pi*]
     (* = broadcast along K)."""
-    sig_e = hyper_ref[0][:, :, None]              # (S, K, 1)
-    tau_b = hyper_ref[1][:, :, None]
-    pi_ = hyper_ref[2][:, :, None]
-    act = hyper_ref[3][:, 0][:, None]             # (S, 1)
-    lam = hyper_ref[4][:, :, None]
-    log_null_pi = hyper_ref[5][:, 0][:, None]     # (S, 1)
+    sig_e = hyper_ref[0, 0][:, None]              # (S, 1)
+    tau_b = [hyper_ref[1, k][:, None] for k in range(K)]    # K x (S, 1)
+    pi_ = [hyper_ref[2, k][:, None] for k in range(K)]
+    act = hyper_ref[3, 0][:, None]                # (S, 1)
+    lam = hyper_ref[4, 0][:, None]
+    log_null_pi = hyper_ref[5, 0][:, None]        # (S, 1)
     on = (act > 0.0).astype(F32)
-    base_logit = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b)
+    base_logit = [jnp.log(pi_[k]) - jnp.log1p(-pi_[k])
+                  + 0.5 * jnp.log(tau_b[k]) for k in range(K)]
 
     gamma_out[0] = gamma_ref[0]
     mu_out[0] = mu_ref[0]
@@ -879,15 +885,18 @@ def _mix_sweep_kernel_batch(beta_ref, n_ref, mask_ref, hyper_ref,
         sl = pl.ds(idx, tile)
         q_t = q_out[0, :, sl]                     # (S, T)
         eta_t = eta_out[0, :, sl]
-        n_t = n_ref[0, 0, sl][None, None, :]      # (1, 1, T)
-        beta_t = beta_ref[0, 0, sl][None, :]      # (1, T)
+        n_t = n_ref[0, 0, sl][None, :]            # (1, T)
+        beta_t = beta_ref[0, 0, sl][None, :]
         mask_t = mask_ref[0, 0, sl][None, :]
-        g_t = gamma_out[0, :, :, sl]              # (S, K, T)
-        mu_t = mu_out[0, :, :, sl]
+        g_t = [gamma_out[0, k, :, sl] for k in range(K)]    # K x (S, T)
+        mu_t = [mu_out[0, k, :, sl] for k in range(K)]
 
-        var_tau_t = n_t * (1.0 + lam) / sig_e + tau_b          # (S, K, T)
-        mu_mult_t = n_t / (var_tau_t * sig_e)
-        mu_mult_max = jnp.max(jnp.abs(mu_mult_t), axis=1)      # (S, T)
+        # per-component precision/multiplier, all (S, T):
+        var_tau_t = [n_t * (1.0 + lam) / sig_e + tau_b[k] for k in range(K)]
+        mu_mult_t = [n_t / (var_tau_t[k] * sig_e) for k in range(K)]
+        mu_mult_max = jnp.abs(mu_mult_t[0])
+        for k in range(1, K):
+            mu_mult_max = jnp.maximum(mu_mult_max, jnp.abs(mu_mult_t[k]))
 
         D_rows = diag_ref[0, sl, :].astype(F32)
         R_tt = diag_ref[0, sl, sl].astype(F32)
@@ -896,34 +905,46 @@ def _mix_sweep_kernel_batch(beta_ref, n_ref, mask_ref, hyper_ref,
         R_abs = jnp.abs(R_tt)
         R_abs_diag = jnp.sum(R_abs * _eye(tile), axis=0)[None, :]
 
-        g_cur, mu_cur, eta_cur, q_cur = g_t, mu_t, eta_t, q_t
+        g_cur, mu_cur = list(g_t), list(mu_t)
+        eta_cur, q_cur = eta_t, q_t
         for step in range(inner_steps):
-            mu_star = mu_mult_t * (beta_t[:, None, :] - q_cur[:, None, :])
-            u = base_logit - 0.5 * jnp.log(var_tau_t) \
-                + 0.5 * var_tau_t * mu_star * mu_star          # (S, K, T)
-            u_max = jnp.maximum(jnp.max(u, axis=1), log_null_pi)   # (S, T)
-            exp_u = jnp.exp(u - u_max[:, None, :])
-            denom = exp_u.sum(axis=1) + jnp.exp(log_null_pi - u_max)
-            g_star = exp_u / denom[:, None, :]                     # (S, K, T)
+            mu_star = [mu_mult_t[k] * (beta_t - q_cur) for k in range(K)]
+            u = [base_logit[k] - 0.5 * jnp.log(var_tau_t[k])
+                 + 0.5 * var_tau_t[k] * mu_star[k] * mu_star[k]
+                 for k in range(K)]                        # K x (S, T)
+            u_max = log_null_pi
+            for k in range(K):
+                u_max = jnp.maximum(u_max, u[k])
+            exp_u = [jnp.exp(u[k] - u_max) for k in range(K)]
+            denom = jnp.exp(log_null_pi - u_max)
+            for k in range(K):
+                denom = denom + exp_u[k]
+            g_star = [exp_u[k] / denom for k in range(K)]
 
             # gamma-weighted under-relaxation, recomputed every inner pass
             # (the frozen-weight variant diverges at genome scale):
-            pip_star = jnp.sum(g_star, axis=1)                     # (S, T)
+            pip_star = g_star[0]
+            for k in range(1, K):
+                pip_star = pip_star + g_star[k]
             coupling = _row_matmul(pip_star * mu_mult_max, R_abs)
             coupling = coupling - R_abs_diag * pip_star * mu_mult_max
-            w = (act / (1.0 + coupling))[:, None, :]               # (S, 1, T)
+            w = act / (1.0 + coupling)                     # (S, T)
 
-            g_cur = g_cur + w * (g_star - g_cur)
-            mu_cur = mu_cur + w * (mu_star - mu_cur)
-            eta_new = jnp.sum(g_cur * mu_cur, axis=1)              # (S, T)
+            eta_new = None
+            for k in range(K):
+                g_cur[k] = g_cur[k] + w * (g_star[k] - g_cur[k])
+                mu_cur[k] = mu_cur[k] + w * (mu_star[k] - mu_cur[k])
+                term = g_cur[k] * mu_cur[k]
+                eta_new = term if eta_new is None else eta_new + term
             d_in = (eta_new - eta_cur) * mask_t * on
             q_cur = q_cur + _row_matmul(d_in, R_tt) - d_in
             eta_cur = eta_cur + d_in
 
-        d_t = (eta_cur - eta_t) * mask_t * on                      # (S, T)
+        d_t = (eta_cur - eta_t) * mask_t * on              # (S, T)
 
-        gamma_out[0, :, :, sl] = g_cur
-        mu_out[0, :, :, sl] = mu_cur
+        for k in range(K):
+            gamma_out[0, k, :, sl] = g_cur[k]
+            mu_out[0, k, :, sl] = mu_cur[k]
         eta_out[0, :, sl] = eta_t + d_t
 
         q_upd = _row_matmul(d_t, D_rows)
@@ -950,33 +971,35 @@ def cavi_sweep_mixture_pallas_batch(ld: BlockLD, state, std_beta, n_per_snp,
     n_tiles = B // tile
     eta0 = state.eta
 
-    bc = lambda x: jnp.broadcast_to(x.astype(F32)[:, None], (S, K))[None]
+    # hyper rows as (8, K, S): K leading (statically unrolled in the kernel),
+    # S on the sublane axis:
+    bc = lambda x: jnp.broadcast_to(x.astype(F32)[None, :], (K, S))[None]
     hyper_mat = jnp.concatenate([
         bc(hyper.sigma_eps),
-        hyper.tau_beta.astype(F32)[None],
-        hyper.pi.astype(F32)[None],
+        jnp.transpose(hyper.tau_beta.astype(F32))[None],
+        jnp.transpose(hyper.pi.astype(F32))[None],
         bc(active),
         bc(hyper.lambda_min),
         bc(jnp.log1p(-jnp.sum(hyper.pi, axis=1))),
-        jnp.zeros((2, S, K), F32),
-    ])                                            # (8, S, K)
+        jnp.zeros((2, K, S), F32),
+    ])                                            # (8, K, S)
 
-    kernel = functools.partial(_mix_sweep_kernel_batch, tile=tile,
+    kernel = functools.partial(_mix_sweep_kernel_batch, K=K, tile=tile,
                                n_tiles=n_tiles, scale=ld.scale,
                                inner_steps=inner_steps)
 
-    skm_spec = pl.BlockSpec((1, S, K, B), lambda b: (b, b * 0, b * 0, b * 0),
+    ksm_spec = pl.BlockSpec((1, K, S, B), lambda b: (b, b * 0, b * 0, b * 0),
                             memory_space=pltpu.VMEM)
     sb_spec = pl.BlockSpec((1, S, B), lambda b: (b, b * 0, b * 0),
                            memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 1, B), lambda b: (b, b * 0, b * 0),
                             memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((NB, S, K, B), F32),
-                  jax.ShapeDtypeStruct((NB, S, K, B), F32),
+    out_shapes = [jax.ShapeDtypeStruct((NB, K, S, B), F32),
+                  jax.ShapeDtypeStruct((NB, K, S, B), F32),
                   jax.ShapeDtypeStruct((NB, S, B), F32),
                   jax.ShapeDtypeStruct((NB, S, B), F32)]
 
-    to_nb = lambda x: jnp.transpose(x, (2, 0, 1, 3))  # (S,K,NB,B)->(NB,S,K,B)
+    to_nb = lambda x: jnp.transpose(x, (2, 1, 0, 3))  # (S,K,NB,B)->(NB,K,S,B)
     to_nb2 = lambda x: jnp.transpose(x, (1, 0, 2))    # (S,NB,B)->(NB,S,B)
     rowify = lambda x: x[:, None, :]
 
@@ -985,21 +1008,21 @@ def cavi_sweep_mixture_pallas_batch(ld: BlockLD, state, std_beta, n_per_snp,
         grid=(NB,),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((8, S, K), lambda b: (b * 0, b * 0, b * 0),
+            pl.BlockSpec((8, K, S), lambda b: (b * 0, b * 0, b * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, B), lambda b: (b, b * 0, b * 0),
                          memory_space=pltpu.VMEM),
-            skm_spec, skm_spec, sb_spec, sb_spec,
+            ksm_spec, ksm_spec, sb_spec, sb_spec,
         ],
-        out_specs=[skm_spec, skm_spec, sb_spec, sb_spec],
+        out_specs=[ksm_spec, ksm_spec, sb_spec, sb_spec],
         out_shape=out_shapes,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
     )(rowify(std_beta), rowify(n_per_snp), rowify(ld.mask), hyper_mat, ld.diag,
       to_nb(state.gamma), to_nb(state.mu), to_nb2(state.eta),
       to_nb2(state.q))
 
-    gamma = jnp.transpose(gamma, (1, 2, 0, 3))
-    mu = jnp.transpose(mu, (1, 2, 0, 3))
+    gamma = jnp.transpose(gamma, (2, 1, 0, 3))        # back to (S,K,NB,B)
+    mu = jnp.transpose(mu, (2, 1, 0, 3))
     eta = jnp.transpose(eta, (1, 0, 2))
     q = jnp.transpose(q, (1, 0, 2))
 
