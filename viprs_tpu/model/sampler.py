@@ -261,37 +261,52 @@ def hmc_refine(dataset, gamma_mask, pi=0.01, tau_beta=1000.0, sigma_eps=0.9,
 
     n_over_sig = nf / F32(sigma_eps)
 
+    def _sum64(x):
+        # per-block f32 partial sums, f64 across blocks: the Metropolis test
+        # compares energies of magnitude ~1e6, where a plain f32 reduction
+        # carries O(1) noise — enough to collapse the acceptance rate.
+        return jnp.sum(jnp.sum(x, axis=2).astype(jnp.float64), axis=1)
+
     def grad_energy(beta):
         Rb = compute_q(ld, beta) + beta
         return (n_over_sig * (Rb - sb) + F32(tau_beta) * beta) * gmask
 
     def energy(beta):
         Rb = compute_q(ld, beta) + beta
-        quad = 0.5 * jnp.sum(n_over_sig * beta * (Rb - 2.0 * sb), axis=(1, 2))
-        prior = 0.5 * F32(tau_beta) * jnp.sum(beta * beta, axis=(1, 2))
+        quad = 0.5 * _sum64(n_over_sig * beta * (Rb - 2.0 * sb))
+        prior = 0.5 * jnp.float64(tau_beta) * _sum64(beta * beta)
         return quad + prior
 
-    # conservative step size from the per-coordinate curvature bound:
+    # Diagonal mass matrix = per-coordinate curvature (n/sigma_eps + tau_beta):
+    # preconditions the Gaussian target so the effective spectrum is the LD
+    # CORRELATION matrix's (O(10) condition within blocks) instead of the
+    # raw precision's (~1e6 scale) — without it the leapfrog needs
+    # d^(1/4)-smaller steps and acceptance collapses on stiff problems.
+    m_diag = (nf / F32(sigma_eps) + F32(tau_beta)) * gmask + (1.0 - gmask)
+    inv_m = gmask / m_diag
+    sqrt_m = jnp.sqrt(m_diag)
+
+    # step size in preconditioned units, warmup-adapted toward ~0.65
+    # acceptance during the burn-in half:
     if step_size is None:
-        vmax = float(np.asarray(nf).max()) / sigma_eps * 3.0 + tau_beta
-        step_size = 0.5 / np.sqrt(vmax)
-    step_size = F32(step_size)
+        step_size = 0.1
+    step_size = float(step_size)
 
     @jax.jit
-    def hmc_step(beta, key):
+    def hmc_step(beta, key, eps):
         key, k1, k2 = jax.random.split(key, 3)
-        p0 = jax.random.normal(k1, beta.shape, F32) * gmask
-        e0 = energy(beta) + 0.5 * jnp.sum(p0 * p0, axis=(1, 2))
+        p0 = jax.random.normal(k1, beta.shape, F32) * sqrt_m * gmask
+        e0 = energy(beta) + 0.5 * _sum64(p0 * p0 * inv_m)
 
         def leap(_, carry):
             b, p = carry
-            p = p - 0.5 * step_size * grad_energy(b)
-            b = b + step_size * p * gmask
-            p = p - 0.5 * step_size * grad_energy(b)
+            p = p - 0.5 * eps * grad_energy(b)
+            b = b + eps * p * inv_m
+            p = p - 0.5 * eps * grad_energy(b)
             return b, p
 
         b1, p1 = lax.fori_loop(0, n_leapfrog, leap, (beta, p0))
-        e1 = energy(b1) + 0.5 * jnp.sum(p1 * p1, axis=(1, 2))
+        e1 = energy(b1) + 0.5 * _sum64(p1 * p1 * inv_m)
         accept = (jax.random.uniform(k2, e0.shape) <
                   jnp.exp(jnp.minimum(e0 - e1, 0.0)))
         accept = accept[:, None, None]
@@ -307,9 +322,13 @@ def hmc_refine(dataset, gamma_mask, pi=0.01, tau_beta=1000.0, sigma_eps=0.9,
     acc = []
     ssum = None
     for i in range(n_samples):
-        beta, key, a = hmc_step(beta, key)
-        acc.append(float(a))
-        if i >= n_samples // 2:
+        beta, key, a = hmc_step(beta, key, F32(step_size))
+        a = float(a)
+        acc.append(a)
+        if i < n_samples // 2:
+            # multiplicative warmup toward accept ~0.65 (Robbins-Monro-ish):
+            step_size *= float(np.exp(0.3 * (a - 0.65)))
+        else:
             cur = (beta.sum(0), (beta * beta).sum(0))
             ssum = cur if ssum is None else tuple(x + c for x, c in zip(ssum, cur))
     kept = (n_samples - n_samples // 2) * n_chains
