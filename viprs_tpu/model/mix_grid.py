@@ -210,7 +210,8 @@ class VIPRSMixGrid(VIPRSMix):
         nit_acc = np.zeros(S, dtype=np.int32)
         final_elbo = np.zeros(S, dtype=np.float64)
         counters = mel.init_mix_counters(S)
-        init_elbo = None       # first chunk computes it in-graph
+        init_elbo = None       # None => the chunk computes it in-graph
+        last_elbo = None       # last known full-width objectives (history fill)
         it_done = 0
         S_run = S
 
@@ -224,8 +225,8 @@ class VIPRSMixGrid(VIPRSMix):
             n_act = int(active.sum())
 
             bucket = min(S, 1 << max(0, int(np.ceil(np.log2(max(n_act, 1))))))
-            if init_elbo is None:
-                bucket = S      # no per-lane carry yet — run full width
+            if last_elbo is None:
+                bucket = S      # nothing to back-fill history from yet
             if bucket > S_run:
                 S_run = bucket
             elif S >= 8 and bucket <= S_run // 2:
@@ -249,7 +250,10 @@ class VIPRSMixGrid(VIPRSMix):
                                       for x in self._batch_hyper_f32()))
                 fix_in = sub_fix(fix_full, sel_dev)
                 counters_in = mel.MixCounters(*(sub(x) for x in counters))
-                init_elbo_in = init_elbo[sel_pad]
+                # post-restart chunks pass None: the restarted lanes' initial
+                # objective is computed in-graph for the compacted subset
+                init_elbo_in = (None if init_elbo is None
+                                else init_elbo[sel_pad])
                 active_in = jnp.asarray(np.arange(S_run) < n_act)
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
             else:
@@ -283,6 +287,7 @@ class VIPRSMixGrid(VIPRSMix):
 
             if compact:
                 sel_j = jnp.asarray(sel)
+                fill = init_elbo if init_elbo is not None else last_elbo
 
                 def scat(full, part):
                     return jnp.asarray(full).at[sel_j].set(part[:n_act])
@@ -304,10 +309,10 @@ class VIPRSMixGrid(VIPRSMix):
                 statuses = statuses.copy()
                 statuses[sel] = status_np[:n_act]
                 nit_acc[sel] = nit_np[:n_act]
-                fe = init_elbo.copy()
+                fe = fill.copy()
                 fe[sel] = np.asarray(fe_np, dtype=np.float64)[:n_act]
                 for row in np.asarray(hist_dev)[1:n_in_chunk + 1]:
-                    full_row = init_elbo.copy()
+                    full_row = fill.copy()
                     full_row[sel] = row[:n_act]
                     self.history['ELBO'].append(full_row)
                 init_elbo = fe
@@ -325,6 +330,7 @@ class VIPRSMixGrid(VIPRSMix):
                     self.history['ELBO'].append(hist[0].copy())
                 self.history['ELBO'].extend(list(hist[1:n_in_chunk + 1]))
                 init_elbo = np.asarray(fe_np, dtype=np.float64)
+            last_elbo = init_elbo
             final_elbo = init_elbo
 
             restart_mask = (statuses == opt.MSE_NEGATIVE) \
