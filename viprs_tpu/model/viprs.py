@@ -727,6 +727,7 @@ class VIPRS(BayesPRSModel):
         # separate ELBO dispatch + host round trip. History slot 0 is read
         # back from the chunk's elbo_hist.
         init_elbo = None
+        last_elbo = None   # last known full-width objectives (history fill)
         hist0_needed = not continued or not self.history.get('ELBO')
         if hist0_needed:
             self.history['ELBO'] = []
@@ -757,9 +758,9 @@ class VIPRS(BayesPRSModel):
             # first use. (Compact only on a >=4x shrink so at most ~log4(S)
             # distinct widths ever compile.)
             bucket = min(S, 1 << max(0, int(np.ceil(np.log2(max(n_act, 1))))))
-            if init_elbo is None:
-                # initial objective not yet known (computed in-graph by this
-                # chunk); run full-width so no per-lane carry is needed:
+            if last_elbo is None:
+                # no full-width objectives yet to back-fill history from;
+                # run full-width (the very first chunk only):
                 bucket = S
             if self.mesh is not None:
                 # keep compacted widths divisible by the mesh 'grid' axis so
@@ -783,7 +784,10 @@ class VIPRS(BayesPRSModel):
                 hyper_in = Hyper(*(sub(x) for x in self._hyper_f32()))
                 fix_in = FixMask(*(sub(x) for x in self._fix_mask))
                 counters_in = em_loop.EMCounters(*(sub(x) for x in counters))
-                init_elbo_in = init_elbo[sel_pad]
+                # post-restart chunks pass None: the restarted lanes' initial
+                # objective is computed in-graph for the compacted subset
+                init_elbo_in = (None if init_elbo is None
+                                else init_elbo[sel_pad])
                 active_in = jnp.asarray(np.arange(S_run) < n_act)
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
                 if sweep_impl is None:
@@ -815,6 +819,7 @@ class VIPRS(BayesPRSModel):
 
             if compact:
                 sel_j = jnp.asarray(sel)
+                fill = init_elbo if init_elbo is not None else last_elbo
 
                 def scat(full, part):
                     return jnp.asarray(full).at[sel_j].set(part[:n_act])
@@ -844,11 +849,11 @@ class VIPRS(BayesPRSModel):
                 med_acc[sel] = med_np[:n_act]
                 n_in_chunk = int(n_total_np)
                 it_done += n_in_chunk
-                fe = init_elbo.copy()
+                fe = fill.copy()
                 fe[sel] = np.asarray(fe_part, dtype=np.float64)[:n_act]
                 sub_hist = np.asarray(hist_dev)[1:n_in_chunk + 1]
                 for row in sub_hist:
-                    full_row = init_elbo.copy()
+                    full_row = fill.copy()
                     full_row[sel] = row[:n_act]
                     self.history['ELBO'].append(full_row)
                 init_elbo = fe
@@ -885,6 +890,7 @@ class VIPRS(BayesPRSModel):
                 hist = hist[1:n_in_chunk + 1]
                 self.history['ELBO'].extend(
                     [row[0] for row in hist] if S == 1 else list(hist))
+            last_elbo = init_elbo
             self._merged_result = em_loop.EMResult(
                 state=None, hyper=None, sigma_g=None,
                 status=statuses, nit=nit_acc, elbo_hist=None,
