@@ -41,6 +41,20 @@ def _logit(p):
 
 
 @jax.jit
+def _restart_state_jit(state, restart_mask, fresh_logits):
+    """Reset the masked lanes' variational state (restart-on-negative-MSE) in
+    one fused dispatch. fresh_logits: (S,) f32 logit(pi) per lane."""
+    mask = restart_mask[:, None, None]
+    fresh = fresh_logits[:, None, None]
+    zero = jnp.zeros((), jnp.float32)
+    return CaviState(
+        logits=jnp.where(mask, fresh, state.logits),
+        mu=jnp.where(mask, zero, state.mu),
+        eta=jnp.where(mask, zero, state.eta),
+        q=jnp.where(mask, zero, state.q))
+
+
+@jax.jit
 def _posterior_moments_jit(state, n_flat, hyper32):
     """(pip, posterior mean, posterior variance) in one device dispatch."""
     var_tau = updates.compute_var_tau(n_flat, hyper32)
@@ -990,16 +1004,12 @@ class VIPRS(BayesPRSModel):
         self._hyper = Hyper(**h)
         self._update_fix_mask()
 
-        # reset variational state for the restarted lanes (device-side —
-        # avoids a full host round trip of the (S, NB, B) state):
-        mask_dev = jnp.asarray(restart_mask)[:, None, None]
-        fresh_logits = jnp.asarray(_logit(h['pi']), F32)[:, None, None]
-        st = self._state
-        self._state = CaviState(
-            logits=jnp.where(mask_dev, fresh_logits, st.logits),
-            mu=jnp.where(mask_dev, 0.0, st.mu).astype(F32),
-            eta=jnp.where(mask_dev, 0.0, st.eta).astype(F32),
-            q=jnp.where(mask_dev, 0.0, st.q).astype(F32))
+        # reset variational state for the restarted lanes (device-side, one
+        # fused dispatch — avoids both a host round trip of the (S, NB, B)
+        # state and per-array eager dispatch latency on remote transports):
+        self._state = _restart_state_jit(
+            self._state, jnp.asarray(restart_mask),
+            jnp.asarray(_logit(h['pi']), F32))
         self._sigma_g = np.where(restart_mask, 0.0, self._sigma_g)
 
     def _populate_optim_result(self, res):
