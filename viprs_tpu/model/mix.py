@@ -440,12 +440,11 @@ class VIPRSMix(BayesPRSModel):
             self.initialize(theta_0, param_0)
         self.history.setdefault('ELBO', [])
 
-        import jax
         # The Pallas mixture sweep (VMEM-resident per-block K-state) wins on
-        # real TPU hardware; the XLA path wins on CPU meshes:
-        on_tpu = jax.default_backend() in ('tpu', 'axon')
-        use_pallas = on_tpu
-        use_skip = on_tpu
+        # real TPU hardware; the XLA path serves CPU backends and device
+        # meshes (Pallas must never see GSPMD-sharded state — _dispatch.py):
+        from ._dispatch import pallas_allowed
+        use_pallas = use_skip = pallas_allowed(self.mesh)
 
         restarts = 0
         while True:

