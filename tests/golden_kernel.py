@@ -64,6 +64,31 @@ void ref_e_step_mixture_f64(int c_size, int K, int* left, int64_t* indptr,
                                             threads, low_memory);
 }
 
+void ref_e_step_f32(int c_size, int* left, int64_t* indptr, float* ld,
+                    float* std_beta, float* gamma, float* mu, float* eta,
+                    float* q, float* eta_diff, float* u_logs,
+                    float* sqrt_half_var_tau, float* mu_mult, float dq,
+                    int threads, bool low_memory) {
+    e_step<float, float, int64_t>(c_size, left, indptr, ld, std_beta, gamma,
+                                  mu, eta, q, eta_diff, u_logs,
+                                  sqrt_half_var_tau, mu_mult, dq, threads,
+                                  low_memory);
+}
+
+void ref_e_step_mixture_f32(int c_size, int K, int* left, int64_t* indptr,
+                            float* ld, float* std_beta, float* gamma,
+                            float* mu, float* eta, float* q,
+                            float* eta_diff, float* log_null_pi,
+                            float* u_logs, float* sqrt_half_var_tau,
+                            float* mu_mult, float dq, int threads,
+                            bool low_memory) {
+    e_step_mixture<float, float, int64_t>(c_size, K, left, indptr, ld,
+                                          std_beta, gamma, mu, eta, q,
+                                          eta_diff, log_null_pi, u_logs,
+                                          sqrt_half_var_tau, mu_mult, dq,
+                                          threads, low_memory);
+}
+
 void ref_e_step_grid_f64(int c_size, int n_active, int* active_idx, int* left,
                          int64_t* indptr, double* ld, double* std_beta,
                          double* gamma, double* mu, double* eta, double* q,
@@ -113,6 +138,16 @@ def build_ref_kernel():
         subprocess.run(cmd, check=True, capture_output=True, text=True)
 
     lib = ctypes.CDLL(so)
+    _F32 = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')
+    lib.ref_e_step_f32.restype = None
+    lib.ref_e_step_f32.argtypes = [
+        ctypes.c_int, _I32, _I64, _F32, _F32, _F32, _F32, _F32, _F32, _F32,
+        _F32, _F32, _F32, ctypes.c_float, ctypes.c_int, ctypes.c_bool]
+    lib.ref_e_step_mixture_f32.restype = None
+    lib.ref_e_step_mixture_f32.argtypes = [
+        ctypes.c_int, ctypes.c_int, _I32, _I64, _F32, _F32, _F32, _F32, _F32,
+        _F32, _F32, _F32, _F32, _F32, _F32, ctypes.c_float, ctypes.c_int,
+        ctypes.c_bool]
     lib.ref_e_step_f64.restype = None
     lib.ref_e_step_f64.argtypes = [
         ctypes.c_int, _I32, _I64, _F64, _F64, _F64, _F64, _F64, _F64, _F64,
