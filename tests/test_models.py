@@ -234,6 +234,53 @@ class TestVIPRSMix:
         eta_m = np.concatenate([mm.post_mean_beta[c] for c in mm.chromosomes])
         assert np.corrcoef(eta_v, eta_m)[0, 1] > 0.99
 
+    def test_k10_fit(self, dataset):
+        """K=10 (the reference's own mixture test size and iteration budget,
+        /root/reference/tests/test_basic.py:138-197 fits max_iter=10):
+        initialization invariants, smoke fit, posterior shapes, and the
+        reporting surface. NOTE the reference itself degenerates at K=10 when
+        run to convergence on spike-and-slab data (pi collapses onto one
+        component, null_pi -> 0, log(0) => 'Objective (ELBO) is undefined' —
+        verified head-to-head via tests/ref_shim.py), so this mirrors the
+        reference's own smoke budget; this framework detects the same
+        pathology through the divergence/non-finite ladder instead of
+        crashing."""
+        np.random.seed(9)
+        m = VIPRSMix(dataset, K=10)
+        m.initialize()
+        assert m.pi.shape == (10,)
+        assert np.all((m.pi > 0) & (m.pi < 1)) and 0 < m.pi.sum() < 1
+        assert 0.0 < float(m.sigma_epsilon) < 1.0
+        assert m.tau_beta.shape == (10,) and np.all(m.tau_beta > 0)
+        assert m.d.shape == (10,)
+
+        m.fit(max_iter=10)
+        assert m.optim_result.stop_iteration
+        for c in m.chromosomes:
+            assert m.pip[c].shape == (m.shapes[c],)
+            assert m.post_mean_beta[c].shape == (m.shapes[c],)
+            assert m.post_var_beta[c].shape == (m.shapes[c],)
+        pip = np.concatenate([m.pip[c] for c in m.chromosomes])
+        assert np.all((pip >= 0) & (pip <= 1 + 1e-5))
+        # reporting surface doesn't throw (reference test parity):
+        m.to_table()
+        m.to_theta_table()
+        m.to_history_table()
+        assert np.isfinite(m.mse())
+        assert np.isfinite(m.log_prior())
+        assert np.isfinite(m.loglikelihood())
+        assert np.isfinite(m.entropy())
+        assert 0.0 <= m.get_heritability() <= 1.0
+        # NOTE: elbo != loglikelihood + log_prior + entropy exactly, matching
+        # the reference: its entropy()/log_prior() carry 0.5*M constants
+        # (VIPRS.py:613,678) while elbo() carries 0.5*sum(gamma)
+        # (VIPRS.py:566) — the null component has no Gaussian term. The
+        # difference is 0.5*(M - sum(gamma)):
+        gap = m.elbo() - (m.loglikelihood() + m.log_prior() + m.entropy())
+        sum_gamma = float(sum(np.sum(v) for v in m.var_gamma.values()))
+        np.testing.assert_allclose(gap, -0.5 * (m.n_snps - sum_gamma),
+                                   rtol=1e-3)
+
 
 class TestVIPRSMixGrid:
 

@@ -436,3 +436,99 @@ def test_grid_skip_kernel_matches_xla_interpret(problem, monkeypatch):
         ld, state, sb, nf, hyper, act2, jnp.ones(nb, bool), tile=64)
     np.testing.assert_array_equal(np.asarray(out_l.eta)[1],
                                   np.asarray(state.eta)[1])
+
+
+def test_mixture_batch_skip_kernel_matches_xla_interpret(problem, monkeypatch):
+    """The grid-batched mixture skipping kernel (VERDICT r3 #6): all-active
+    match vs the XLA batched mixture sweep, quiescent blocks bit-exact,
+    inactive lanes frozen, and the union proposal mask gates correctly."""
+    from viprs_tpu.ops import cavi_pallas
+    from viprs_tpu.ops.cavi_mix import (MixState, MixHyper,
+                                        cavi_sweep_mixture_batch)
+    import jax.experimental.pallas as pl
+
+    ld, lay, sb, nf = problem
+    S, K = 4, 3
+    nb, B = lay.nb, 128
+    rng = np.random.default_rng(11)
+    pis = rng.uniform(0.005, 0.05, size=(S, K)).astype(np.float32)
+    gamma = jnp.asarray(np.broadcast_to(pis[:, :, None, None],
+                                        (S, K, nb, B)), jnp.float32)
+    state = MixState(gamma=gamma,
+                     mu=jnp.asarray(rng.normal(0, 1e-3, (S, K, nb, B)),
+                                    jnp.float32),
+                     eta=0.002 * jnp.tile(sb[None], (S, 1, 1)),
+                     q=jnp.zeros((S, nb, B), jnp.float32))
+    from viprs_tpu.ops.cavi_jax import compute_q
+    state = state._replace(q=jax.vmap(lambda e: compute_q(ld, e[None])[0])(
+        state.eta))
+    hyper = MixHyper(
+        sigma_eps=jnp.asarray(rng.uniform(0.6, 0.9, S), jnp.float32),
+        tau_beta=jnp.asarray(rng.uniform(300, 3000, (S, K)), jnp.float32),
+        pi=jnp.asarray(pis),
+        lambda_min=jnp.zeros(S, jnp.float32))
+    act = jnp.asarray([1.0, 0.0, 0.5, 1.0], jnp.float32)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'pallas_call', interp_call)
+
+    out_x, diff_x = cavi_sweep_mixture_batch(ld, state, sb, nf, hyper,
+                                             act, tile=64)
+
+    # all blocks active == full batched sweep:
+    out_all, diff_all = \
+        cavi_pallas.cavi_sweep_mixture_pallas_skip_batch.__wrapped__(
+            ld, state, sb, nf, hyper, act, jnp.ones(nb, bool), tile=64)
+    np.testing.assert_allclose(np.asarray(out_all.eta), np.asarray(out_x.eta),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_all.q), np.asarray(out_x.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_all.gamma),
+                               np.asarray(out_x.gamma), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_all.mu),
+                               np.asarray(out_x.mu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(diff_all), np.asarray(diff_x),
+                               atol=1e-5)
+    # frozen lane untouched even with all blocks active:
+    np.testing.assert_array_equal(np.asarray(out_all.eta[1]),
+                                  np.asarray(state.eta[1]))
+
+    # subset of blocks active: quiescent blocks bit-exact:
+    bm = np.zeros(nb, bool)
+    bm[::2] = True
+    out_sub, _ = \
+        cavi_pallas.cavi_sweep_mixture_pallas_skip_batch.__wrapped__(
+            ld, state, sb, nf, hyper, act, jnp.asarray(bm), tile=64)
+    for name in ('gamma', 'mu'):
+        got = np.asarray(getattr(out_sub, name))
+        np.testing.assert_array_equal(
+            got[:, :, ~bm], np.asarray(getattr(state, name))[:, :, ~bm])
+        np.testing.assert_allclose(
+            got[:, :, bm], np.asarray(getattr(out_x, name))[:, :, bm],
+            atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_sub.eta)[:, ~bm],
+                                  np.asarray(state.eta)[:, ~bm])
+
+    # the union proposal mask gates a converged state correctly:
+    from viprs_tpu.ops.cavi_pallas import mix_block_proposal_mask_batch
+    st = state
+    for _ in range(40):
+        st, _ = cavi_sweep_mixture_batch(ld, st, sb, nf, hyper,
+                                         jnp.ones(S, jnp.float32), tile=64)
+    pm = mix_block_proposal_mask_batch(ld, st, sb, nf, hyper)
+    assert pm.shape == (S, nb)
+    blk = np.asarray(jnp.any(pm, axis=0))
+    assert blk.sum() < nb       # some blocks quiesced after 40 sweeps
+    out_skip, _ = \
+        cavi_pallas.cavi_sweep_mixture_pallas_skip_batch.__wrapped__(
+            ld, st, sb, nf, hyper, jnp.ones(S, jnp.float32),
+            jnp.asarray(blk), tile=64)
+    out_full, _ = cavi_sweep_mixture_batch(ld, st, sb, nf, hyper,
+                                           jnp.ones(S, jnp.float32), tile=64)
+    np.testing.assert_allclose(np.asarray(out_skip.eta),
+                               np.asarray(out_full.eta), atol=1e-5)

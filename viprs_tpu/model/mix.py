@@ -289,6 +289,45 @@ class VIPRSMix(BayesPRSModel):
         return float(1.0 - 2.0 * stats['sum_beta_eta'] + self._sigma_g
                      - stats['sum_zeta_k'].sum() + stats['sum_eta_sq'])
 
+    # ELBO decomposition on the mixture posterior — the reference inherits
+    # these generically from VIPRS (VIPRS.py:583-678); here they are expressed
+    # in the (K,)-reduced statistics the fused loop already computes:
+    def loglikelihood(self, stats=None):
+        """E_q[log p(data | beta)] (reference VIPRS.py:615-628)."""
+        if stats is None:
+            stats = self._elbo_and_stats()[1]
+        sig_e = float(self._hyper.sigma_eps)
+        return float(-0.5 * self.n * (
+            np.log(2.0 * np.pi * sig_e)
+            + (1.0 / sig_e) * (1.0 - 2.0 * stats['sum_beta_eta']
+                               + self._sigma_g)))
+
+    def log_prior(self, stats=None):
+        """E_q[log p(beta | theta)] (reference VIPRS.py:630-678, K-mixture
+        instantiation)."""
+        if stats is None:
+            stats = self._elbo_and_stats()[1]
+        pi = np.asarray(self._hyper.pi, dtype=np.float64)
+        tau_b = np.asarray(self._hyper.tau_beta, dtype=np.float64)
+        null_pi = max(1.0 - pi.sum(), np.finfo(np.float64).resolution)
+        lp = 0.5 * float(np.dot(stats['sum_gamma_k'], np.log(tau_b)))
+        lp += float(np.dot(stats['sum_gamma_k'], np.log(pi)))
+        lp += float(stats['sum_null_g']) * np.log(null_pi)
+        lp -= 0.5 * float(np.dot(tau_b, stats['sum_zeta_k']))
+        return lp - 0.5 * self.n_snps * np.log(2.0 * np.pi)
+
+    def entropy(self, stats=None):
+        """Entropy of the variational distribution (reference
+        VIPRS.py:583-613)."""
+        if stats is None:
+            stats = self._elbo_and_stats()[1]
+        ent = -float(stats['sum_g_logg']) - float(stats['sum_ng_logng'])
+        ent -= 0.5 * float(stats['sum_g_logvt'].sum())
+        return ent + 0.5 * self.n_snps * (np.log(2.0 * np.pi) + 1.0)
+
+    def complete_loglikelihood(self):
+        return self.loglikelihood() + self.log_prior()
+
     # -------------------------------------------------------------------- fit
     def _m_step(self, stats):
         h = self._hyper

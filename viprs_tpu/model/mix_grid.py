@@ -200,8 +200,13 @@ class VIPRSMixGrid(VIPRSMix):
         # The Pallas batched mixture kernel (VMEM-resident (S, K) state, one
         # LD stream for all lanes) wins on real TPU hardware; the XLA path
         # serves CPU backends, device meshes (Pallas must never see
-        # GSPMD-sharded state) and tiny grids — policy in model/_dispatch.py:
+        # GSPMD-sharded state) and tiny grids — policy in model/_dispatch.py.
+        # sweep_impl (kwargs): None (policy), 'xla', 'pallas' (plain batch),
+        # or 'skip' (activity-gated batch: blocks stream only while some lane
+        # still proposes an update — wins once most lanes have converged).
         from ._dispatch import select_sweep_impl
+        sweep_impl = kwargs.pop('sweep_impl', None)
+        select_sweep_impl(S * self.K, self.mesh, sweep_impl)  # validate early
 
         restarts = 0
         active = np.ones(S, bool)
@@ -274,8 +279,9 @@ class VIPRSMixGrid(VIPRSMix):
                     sigma_g0=jnp.asarray(sigma_g_in, jnp.float64),
                     i0=it_done, counters0=counters_in,
                     init_elbo=init_elbo_in,
-                    use_pallas=select_sweep_impl(
-                        S_run * self.K, self.mesh, None)[0])
+                    **dict(zip(('use_pallas', 'use_skip'),
+                               select_sweep_impl(S_run * self.K, self.mesh,
+                                                 sweep_impl))))
 
             (hyper_np, sg_np, status_np, nit_np, n_total_np, fe_np,
              hist_dev) = jax.device_get(

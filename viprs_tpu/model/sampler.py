@@ -286,54 +286,107 @@ def hmc_refine(dataset, gamma_mask, pi=0.01, tau_beta=1000.0, sigma_eps=0.9,
     inv_m = gmask / m_diag
     sqrt_m = jnp.sqrt(m_diag)
 
-    # step size in preconditioned units, warmup-adapted toward ~0.65
-    # acceptance during the burn-in half:
     if step_size is None:
         step_size = 0.1
-    step_size = float(step_size)
+    eps0 = float(step_size)
 
-    @jax.jit
-    def hmc_step(beta, key, eps):
-        key, k1, k2 = jax.random.split(key, 3)
+    beta0 = jnp.zeros((n_chains, lay.nb, lay.block_size), F32)
+    gmask = jnp.broadcast_to(gmask, beta0.shape)
+    sb = jnp.broadcast_to(sb, beta0.shape)
+    nf = jnp.broadcast_to(nf, beta0.shape)
+    n_over_sig = nf / F32(sigma_eps)
+
+    def hmc_step(beta, e_pot, key, eps):
+        """One proposal per chain. The current state's potential energy is
+        CARRIED (e_pot) — only the proposal pays an energy evaluation, and
+        the leapfrog reuses endpoint gradients, so one step streams the LD
+        L+2 times instead of the naive 2L+2 (L = trajectory length)."""
+        k1, k2, k3 = jax.random.split(key, 3)
         p0 = jax.random.normal(k1, beta.shape, F32) * sqrt_m * gmask
-        e0 = energy(beta) + 0.5 * _sum64(p0 * p0 * inv_m)
+        h0 = e_pot + 0.5 * _sum64(p0 * p0 * inv_m)
+
+        # jittered trajectory length L ~ U{ceil(n/2), ..., n_leapfrog}: fixed
+        # lengths resonate with the target's periodicities on a near-Gaussian
+        # posterior (Neal 2011 §5.4.3.2) and stall exploration:
+        n_lo = max(1, (n_leapfrog + 1) // 2)
+        L = jax.random.randint(k3, (), n_lo, n_leapfrog + 1)
+
+        # leapfrog with gradient reuse across inner steps:
+        g = grad_energy(beta)
+        p_half = p0 - 0.5 * eps * g
 
         def leap(_, carry):
             b, p = carry
-            p = p - 0.5 * eps * grad_energy(b)
             b = b + eps * p * inv_m
-            p = p - 0.5 * eps * grad_energy(b)
+            g = grad_energy(b)
+            p = p - eps * g
             return b, p
 
-        b1, p1 = lax.fori_loop(0, n_leapfrog, leap, (beta, p0))
-        e1 = energy(b1) + 0.5 * _sum64(p1 * p1 * inv_m)
-        accept = (jax.random.uniform(k2, e0.shape) <
-                  jnp.exp(jnp.minimum(e0 - e1, 0.0)))
-        accept = accept[:, None, None]
-        return jnp.where(accept, b1, beta), key, accept.mean()
+        b1, p1 = lax.fori_loop(0, L - 1, leap, (beta, p_half))
+        b1 = b1 + eps * p1 * inv_m
+        p1 = p1 - 0.5 * eps * grad_energy(b1)
 
-    beta = jnp.zeros((n_chains, lay.nb, lay.block_size), F32)
-    gmask = jnp.broadcast_to(gmask, beta.shape)
-    sb = jnp.broadcast_to(sb, beta.shape)
-    nf = jnp.broadcast_to(nf, beta.shape)
-    n_over_sig = nf / F32(sigma_eps)
+        e1 = energy(b1)
+        h1 = e1 + 0.5 * _sum64(p1 * p1 * inv_m)
+        log_alpha = jnp.minimum(h0 - h1, 0.0)
+        # acceptance PROBABILITY per chain (low-variance signal for dual
+        # averaging); a divergent trajectory counts as alpha = 0:
+        alpha = jnp.where(jnp.isfinite(log_alpha), jnp.exp(log_alpha), 0.0)
+        accept = (jax.random.uniform(k2, alpha.shape) < alpha)[:, None, None]
+        beta_new = jnp.where(accept, b1, beta)
+        e_new = jnp.where(accept[:, 0, 0], e1, e_pot)
+        return beta_new, e_new, alpha.mean()
 
-    key = jax.random.PRNGKey(seed)
-    acc = []
-    ssum = None
-    for i in range(n_samples):
-        beta, key, a = hmc_step(beta, key, F32(step_size))
-        a = float(a)
-        acc.append(a)
-        if i < n_samples // 2:
-            # multiplicative warmup toward accept ~0.65 (Robbins-Monro-ish):
-            step_size *= float(np.exp(0.3 * (a - 0.65)))
-        else:
-            cur = (beta.sum(0), (beta * beta).sum(0))
-            ssum = cur if ssum is None else tuple(x + c for x, c in zip(ssum, cur))
-    kept = (n_samples - n_samples // 2) * n_chains
-    mean = np.asarray(ssum[0] / kept).reshape(-1)
-    second = np.asarray(ssum[1] / kept).reshape(-1)
+    n_warm = n_samples // 2
+    delta = 0.65           # target acceptance (Hoffman & Gelman 2014)
+    mu = np.log(10.0 * eps0)
+    gamma_da, t0_da, kappa_da = 0.05, 10.0, 0.75
+
+    @jax.jit
+    def run_all(key):
+        e_init = energy(beta0)
+
+        def warm_body(carry, it):
+            beta, e_pot, log_eps, log_eps_bar, h_bar, key = carry
+            key, sub = jax.random.split(key)
+            beta, e_pot, alpha = hmc_step(beta, e_pot, sub,
+                                          jnp.exp(log_eps).astype(F32))
+            # Nesterov dual averaging on the acceptance statistic:
+            t = it + 1.0
+            h_bar = (1.0 - 1.0 / (t + t0_da)) * h_bar \
+                + (delta - alpha) / (t + t0_da)
+            log_eps = mu - jnp.sqrt(t) / gamma_da * h_bar
+            w = t ** (-kappa_da)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (beta, e_pot, log_eps, log_eps_bar, h_bar, key), alpha
+
+        carry0 = (beta0, e_init, jnp.float64(np.log(eps0)),
+                  jnp.float64(np.log(eps0)), jnp.float64(0.0), key)
+        carry, warm_alphas = lax.scan(warm_body, carry0, jnp.arange(n_warm,
+                                                                    dtype=jnp.float64))
+        beta, e_pot, _, log_eps_bar, _, key = carry
+        eps_fin = jnp.exp(log_eps_bar).astype(F32)
+
+        def samp_body(carry, _):
+            beta, e_pot, key, s1, s2 = carry
+            key, sub = jax.random.split(key)
+            beta, e_pot, alpha = hmc_step(beta, e_pot, sub, eps_fin)
+            return (beta, e_pot, key, s1 + beta.sum(0),
+                    s2 + (beta * beta).sum(0)), alpha
+
+        zeros = jnp.zeros(beta0.shape[1:], F32)
+        (beta, e_pot, key, s1, s2), samp_alphas = lax.scan(
+            samp_body, (beta, e_pot, key, zeros, zeros),
+            None, length=n_samples - n_warm)
+        return s1, s2, warm_alphas, samp_alphas, eps_fin
+
+    s1, s2, warm_alphas, samp_alphas, eps_fin = run_all(
+        jax.random.PRNGKey(seed))
+    kept = (n_samples - n_warm) * n_chains
+    mean = np.asarray(s1, dtype=np.float64).reshape(-1) / kept
+    second = np.asarray(s2, dtype=np.float64).reshape(-1) / kept
     return dict(post_mean_beta=lay.from_flat(mean),
                 post_var_beta=lay.from_flat(second - mean ** 2),
-                accept_rate=float(np.mean(acc)))
+                accept_rate=float(np.mean(np.asarray(samp_alphas))),
+                warmup_accept_rate=float(np.mean(np.asarray(warm_alphas))),
+                step_size=float(eps_fin))

@@ -1564,6 +1564,303 @@ def cavi_sweep_mixture_pallas_skip(ld: BlockLD, state, std_beta, n_per_snp,
     return state_new, eta_diff
 
 
+def mix_block_proposal_mask_batch(ld: BlockLD, state, std_beta, n_per_snp,
+                                  hyper, eps=ETA_DIFF_EPS):
+    """Batched mixture analog of block_proposal_mask: per-(lane, block)
+    activity from the unrelaxed first-step K-component proposal (no LD
+    traffic). state: gamma/mu (S, K, NB, B), eta/q (S, NB, B); hyper:
+    sigma_eps/lambda_min (S,), tau_beta/pi (S, K). Returns (S, NB) bool."""
+    sig_e = hyper.sigma_eps.astype(F32)[:, None, None, None]  # (S,1,1,1)
+    tau_b = hyper.tau_beta.astype(F32)[:, :, None, None]      # (S,K,1,1)
+    pi_ = hyper.pi.astype(F32)[:, :, None, None]
+    lam = hyper.lambda_min.astype(F32)[:, None, None, None]
+    log_null_pi = jnp.log1p(
+        -jnp.sum(hyper.pi.astype(F32), axis=1))[:, None, None]  # (S,1,1)
+    n = n_per_snp[None, None]                                 # (1,1,NB,B)
+    var_tau = n * (1.0 + lam) / sig_e + tau_b                 # (S,K,NB,B)
+    mu_star = (n / (var_tau * sig_e)) \
+        * (std_beta[None, None] - state.q[:, None])
+    u = jnp.log(pi_) - jnp.log1p(-pi_) + 0.5 * jnp.log(tau_b) \
+        - 0.5 * jnp.log(var_tau) + 0.5 * var_tau * mu_star * mu_star
+    u_max = jnp.maximum(jnp.max(u, axis=1), log_null_pi)     # (S,NB,B)
+    exp_u = jnp.exp(u - u_max[:, None])
+    denom = exp_u.sum(axis=1) + jnp.exp(log_null_pi - u_max)
+    eta_star = jnp.sum(exp_u * mu_star, axis=1) / denom
+    prop = jnp.abs(eta_star - state.eta) * ld.mask[None]
+    return jnp.max(prop, axis=2) >= eps                       # (S, NB)
+
+
+def _mix_skip_kernel_batch(idx_ref, n_ref, oidx_ref, no_ref, osrc_ref,
+                           odst_ref, hyper_ref, diag_hbm, off_hbm, consts_hbm,
+                           stack_in, stack_out, cbuf, sbuf, dbuf, obuf,
+                           sem_c, sem_s, sem_d, sem_o, sem_u, sem_r, sem_w,
+                           *, K, Sp, B, tile, n_tiles, scale, inner_steps):
+    """Grid-batched mixture skip kernel: the `_skip_kernel_s` DMA structure
+    (one block per chunk, Sp model lanes on the sublane axis, active blocks
+    gather-compacted) with `_mix_sweep_kernel_batch`'s K-leading statically
+    unrolled component math.
+
+    stack rows: [gamma_k (k*Sp..), mu_k ((K+k)*Sp..), eta (2K*Sp),
+    q ((2K+1)*Sp), diff ((2K+2)*Sp)]; hyper_ref: (8, K, Sp) f32 VMEM rows
+    [sigma_eps*, tau_beta, pi, active*, lambda*, log_null_pi*]
+    (* = broadcast along K)."""
+    I32 = jnp.int32
+    n = n_ref[0]
+    sig_e = hyper_ref[0, 0][:, None]                 # (Sp, 1)
+    tau_b = [hyper_ref[1, k][:, None] for k in range(K)]
+    pi_ = [hyper_ref[2, k][:, None] for k in range(K)]
+    act = hyper_ref[3, 0][:, None]
+    lam = hyper_ref[4, 0][:, None]
+    log_null_pi = hyper_ref[5, 0][:, None]
+    on = (act > 0.0).astype(F32)
+    base_logit = [jnp.log(pi_[k]) - jnp.log1p(-pi_[k])
+                  + 0.5 * jnp.log(tau_b[k]) for k in range(K)]
+
+    E0, Q0, D0 = 2 * K * Sp, (2 * K + 1) * Sp, (2 * K + 2) * Sp
+
+    def start_chunk(c, slot):
+        b = idx_ref[c]
+        pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot],
+                              sem_d.at[slot]).start()
+        pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot],
+                              sem_c.at[slot]).start()
+        pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot],
+                              sem_s.at[slot]).start()
+
+    @pl.when(n > 0)
+    def _():
+        start_chunk(I32(0), I32(0))
+
+    def body(c, carry):
+        slot = lax.rem(c, I32(2))
+
+        @pl.when(c + I32(1) < n)
+        def _():
+            start_chunk(c + I32(1), lax.rem(c + I32(1), I32(2)))
+
+        b = idx_ref[c]
+        pltpu.make_async_copy(diag_hbm.at[b], dbuf.at[slot],
+                              sem_d.at[slot]).wait()
+        pltpu.make_async_copy(consts_hbm.at[b], cbuf.at[slot],
+                              sem_c.at[slot]).wait()
+        pltpu.make_async_copy(stack_out.at[b], sbuf.at[slot],
+                              sem_s.at[slot]).wait()
+
+        cb = cbuf.at[slot]                          # (4, B)
+        sb = sbuf.at[slot]                          # (R, B) — in place
+        eta0_c = sb[pl.ds(E0, Sp), :]               # (Sp, B)
+
+        for t in range(n_tiles):
+            sl = pl.ds(t * tile, tile)
+            q_t = sb[pl.ds(Q0, Sp), sl]             # (Sp, T)
+            eta_t = sb[pl.ds(E0, Sp), sl]
+            g_t = [sb[pl.ds(k * Sp, Sp), sl] for k in range(K)]
+            mu_t = [sb[pl.ds((K + k) * Sp, Sp), sl] for k in range(K)]
+            nn_t = cb[1, sl][None, :]               # (1, T)
+            bb_t = cb[0, sl][None, :]
+            mm_t = cb[2, sl][None, :]
+
+            var_tau_t = [nn_t * (1.0 + lam) / sig_e + tau_b[k]
+                         for k in range(K)]         # K x (Sp, T)
+            mu_mult_t = [nn_t / (var_tau_t[k] * sig_e) for k in range(K)]
+            mu_mult_max = jnp.abs(mu_mult_t[0])
+            for k in range(1, K):
+                mu_mult_max = jnp.maximum(mu_mult_max, jnp.abs(mu_mult_t[k]))
+
+            D_rows = dbuf[slot, sl, :].astype(F32)              # (T, B)
+            R_tt = dbuf[slot, sl, sl].astype(F32) * F32(scale)  # (T, T)
+            R_abs = jnp.abs(R_tt)
+            R_abs_diag = mm_t                       # unit diag on real lanes
+
+            g_cur, mu_cur = list(g_t), list(mu_t)
+            eta_cur, q_cur = eta_t, q_t
+            for step in range(inner_steps):
+                mu_star = [mu_mult_t[k] * (bb_t - q_cur) for k in range(K)]
+                u = [base_logit[k] - 0.5 * jnp.log(var_tau_t[k])
+                     + 0.5 * var_tau_t[k] * mu_star[k] * mu_star[k]
+                     for k in range(K)]             # K x (Sp, T)
+                u_max = log_null_pi
+                for k in range(K):
+                    u_max = jnp.maximum(u_max, u[k])
+                exp_u = [jnp.exp(u[k] - u_max) for k in range(K)]
+                denom = jnp.exp(log_null_pi - u_max)
+                for k in range(K):
+                    denom = denom + exp_u[k]
+                g_star = [exp_u[k] / denom for k in range(K)]
+
+                pip_star = g_star[0]
+                for k in range(1, K):
+                    pip_star = pip_star + g_star[k]
+                coupling = jnp.dot(pip_star * mu_mult_max, R_abs,
+                                   preferred_element_type=F32,
+                                   precision=lax.Precision.HIGHEST)
+                coupling = coupling - R_abs_diag * pip_star * mu_mult_max
+                w = act / (1.0 + coupling)          # (Sp, T)
+
+                eta_new = None
+                for k in range(K):
+                    g_cur[k] = g_cur[k] + w * (g_star[k] - g_cur[k])
+                    mu_cur[k] = mu_cur[k] + w * (mu_star[k] - mu_cur[k])
+                    term = g_cur[k] * mu_cur[k]
+                    eta_new = term if eta_new is None else eta_new + term
+                d_in = (eta_new - eta_cur) * mm_t * on
+                q_cur = q_cur + jnp.dot(d_in, R_tt,
+                                        preferred_element_type=F32,
+                                        precision=lax.Precision.HIGHEST) - d_in
+                eta_cur = eta_cur + d_in
+
+            d_t = (eta_cur - eta_t) * mm_t * on
+
+            for k in range(K):
+                sb[pl.ds(k * Sp, Sp), sl] = g_cur[k]
+                sb[pl.ds((K + k) * Sp, Sp), sl] = mu_cur[k]
+            sb[pl.ds(E0, Sp), sl] = eta_t + d_t
+
+            q_upd = jnp.dot(d_t, D_rows, preferred_element_type=F32,
+                            precision=lax.Precision.HIGHEST) * F32(scale)
+            sb[pl.ds(Q0, Sp), :] = sb[pl.ds(Q0, Sp), :] + q_upd
+            sb[pl.ds(Q0, Sp), sl] = sb[pl.ds(Q0, Sp), sl] - d_t
+
+        sb[pl.ds(D0, Sp), :] = sb[pl.ds(E0, Sp), :] - eta0_c
+
+        cp = pltpu.make_async_copy(sbuf.at[slot], stack_out.at[b],
+                                   sem_o.at[slot])
+        cp.start()
+        cp.wait()
+        return 0
+
+    lax.fori_loop(I32(0), n, body, 0)
+
+    _off_pass(oidx_ref, no_ref, osrc_ref, odst_ref, off_hbm, stack_out,
+              obuf, sbuf.at[I32(0)], sbuf.at[I32(1)],
+              sem_u, sem_r, sem_w, q_row=Q0, diff_row=D0, scale=scale,
+              rows=Sp)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'inner_steps'))
+def cavi_sweep_mixture_pallas_skip_batch(ld: BlockLD, state, std_beta,
+                                         n_per_snp, hyper, active, blk_mask,
+                                         tile: int = 128,
+                                         inner_steps: int = 8):
+    """Grid-batched mixture skipping sweep; same contract as
+    cavi_sweep_mixture_pallas_batch plus ``blk_mask`` ((NB,) bool — e.g. the
+    any-over-(lanes x components) reduction of mix_block_proposal_mask_batch).
+    Quiescent blocks pass through bit-exactly; coupling tiles are applied
+    in-kernel."""
+    from .cavi_mix import MixState
+
+    B = ld.block_size
+    NB = ld.nb
+    S, K = hyper.pi.shape
+    assert B % tile == 0
+    n_tiles = B // tile
+    Sp = S + (-S) % 8
+
+    blk_mask = blk_mask.astype(bool)
+    idx = jnp.argsort(~blk_mask, stable=True).astype(jnp.int32)
+    n_active = jnp.sum(blk_mask).astype(jnp.int32).reshape(1)
+    if ld.n_off > 0:
+        off_act = blk_mask[ld.off_src] | blk_mask[ld.off_dst]
+        oidx = jnp.argsort(~off_act, stable=True).astype(jnp.int32)
+        n_off_act = jnp.sum(off_act).astype(jnp.int32).reshape(1)
+        off_hbm = ld.off_data
+        osrc = ld.off_src.astype(jnp.int32)
+        odst = ld.off_dst.astype(jnp.int32)
+    else:
+        oidx = jnp.zeros(1, jnp.int32)
+        n_off_act = jnp.zeros(1, jnp.int32)
+        off_hbm = jnp.zeros((1, B, B), ld.diag.dtype)
+        osrc = jnp.zeros(1, jnp.int32)
+        odst = jnp.zeros(1, jnp.int32)
+
+    def padS(x, fill):
+        x = x.astype(F32)
+        return jnp.concatenate([x, jnp.full((Sp - S,) + x.shape[1:],
+                                            fill, F32)]) if Sp > S else x
+
+    # (8, K, Sp): K leading (statically unrolled), Sp on the sublane axis:
+    bc = lambda x, fill: jnp.broadcast_to(padS(x, fill)[None, :],
+                                          (K, Sp))[None]
+    hyper_mat = jnp.concatenate([
+        bc(hyper.sigma_eps, 1.0),
+        jnp.transpose(padS(hyper.tau_beta, 1.0))[None],
+        jnp.transpose(padS(hyper.pi, 0.25 / K))[None],  # pads clear of log(0)
+        bc(active.astype(F32), 0.0),
+        bc(hyper.lambda_min, 0.0),
+        bc(jnp.log1p(-jnp.sum(hyper.pi, axis=1)), -1.0),
+        jnp.zeros((2, K, Sp), F32),
+    ])                                            # (8, K, Sp)
+
+    consts = jnp.stack([std_beta.astype(F32), n_per_snp.astype(F32),
+                        ld.mask.astype(F32),
+                        jnp.zeros_like(ld.mask, F32)], axis=1)   # (NB, 4, B)
+
+    def padded(x):                                # (S, NB, B) -> (NB, Sp, B)
+        x = x.astype(F32)
+        if Sp > S:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Sp - S,) + x.shape[1:], F32)], axis=0)
+        return jnp.transpose(x, (1, 0, 2))
+    planes = ([padded(state.gamma[:, k]) for k in range(K)]
+              + [padded(state.mu[:, k]) for k in range(K)]
+              + [padded(state.eta), padded(state.q),
+                 jnp.zeros((NB, Sp, B), F32)])
+    stack = jnp.concatenate(planes, axis=1)       # (NB, (2K+3)*Sp, B)
+    R = (2 * K + 3) * Sp
+
+    kernel = functools.partial(_mix_skip_kernel_batch, K=K, Sp=Sp, B=B,
+                               tile=tile, n_tiles=n_tiles, scale=ld.scale,
+                               inner_steps=inner_steps)
+
+    dma_bytes = 2 * (B * B * ld.diag.dtype.itemsize + (R + 4) * B * 4) \
+        + 2 * B * B * ld.diag.dtype.itemsize
+    vmem_limit = min(110 * 1024 * 1024, dma_bytes + 64 * 1024 * 1024)
+    new_stack = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_active
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # oidx
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_off_act
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_src
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off_dst
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hyper (8, K, Sp)
+            pl.BlockSpec(memory_space=pl.ANY),          # diag
+            pl.BlockSpec(memory_space=pl.ANY),          # off tiles
+            pl.BlockSpec(memory_space=pl.ANY),          # consts
+            pl.BlockSpec(memory_space=pl.ANY),          # stack
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((NB, R, B), F32),
+        input_output_aliases={10: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, B), F32),                 # cbuf
+            pltpu.VMEM((2, R, B), F32),                 # sbuf
+            pltpu.VMEM((2, B, B), ld.diag.dtype),       # dbuf
+            pltpu.VMEM((2, B, B), ld.diag.dtype),       # obuf
+            pltpu.SemaphoreType.DMA((2,)),              # sem_c
+            pltpu.SemaphoreType.DMA((2,)),              # sem_s
+            pltpu.SemaphoreType.DMA((2,)),              # sem_d
+            pltpu.SemaphoreType.DMA((2,)),              # sem_o
+            pltpu.SemaphoreType.DMA((2,)),              # sem_u
+            pltpu.SemaphoreType.DMA((2,)),              # sem_r
+            pltpu.SemaphoreType.DMA((2,)),              # sem_w
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+    )(idx, n_active, oidx, n_off_act, osrc, odst,
+      hyper_mat, ld.diag, off_hbm, consts, stack)
+
+    def plane(i):                                 # row-span i of Sp rows
+        return jnp.transpose(new_stack[:, i * Sp:i * Sp + S], (1, 0, 2))
+    state_new = MixState(
+        gamma=jnp.stack([plane(k) for k in range(K)], axis=1),
+        mu=jnp.stack([plane(K + k) for k in range(K)], axis=1),
+        eta=plane(2 * K),
+        q=plane(2 * K + 1))
+    eta_diff = plane(2 * K + 2)
+    return state_new, eta_diff
+
+
 @functools.partial(jax.jit, static_argnames=('tile', 'relax', 'inner_steps',
                                               'chunk'))
 def cavi_sweep_pallas(ld: BlockLD, state: CaviState, std_beta, n_per_snp,

@@ -271,7 +271,7 @@ def _mix_stats_batch(state: MixState, var_tau, std_beta, mask):
 
 
 @partial(jax.jit, static_argnames=('tile', 'max_iter', 'min_iter',
-                                   'inner_steps', 'use_pallas'))
+                                   'inner_steps', 'use_pallas', 'use_skip'))
 def mix_em_fit_batch(ld: BlockLD,
                      state0: MixState,
                      std_beta, n_per_snp,
@@ -292,7 +292,8 @@ def mix_em_fit_batch(ld: BlockLD,
                      i0=0,
                      counters0: MixCounters = None,
                      init_elbo=None,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False,
+                     use_skip: bool = False):
     """Fused grid-batched mixture EM: all S settings advance together with
     converged-lane masking; the initial objective is computed in-graph.
 
@@ -398,7 +399,21 @@ def mix_em_fit_batch(ld: BlockLD,
         hy = h32(c['hyper'])
         act_f = c['active'].astype(F32) * c['damping']
 
-        if use_pallas:
+        if use_skip:
+            # Activity-gated batched sweep: a block is streamed only if ANY
+            # live lane (union over lanes x components) still proposes a
+            # >= eps step on it — the mixture-grid analog of the S>1 skip
+            # path in ops/em_loop.py (reference per-variant threshold,
+            # e_step.hpp:382).
+            from .cavi_pallas import (cavi_sweep_mixture_pallas_skip_batch,
+                                      mix_block_proposal_mask_batch)
+            pm = mix_block_proposal_mask_batch(ld, c['state'], std_beta,
+                                               n_per_snp, hy)     # (S, NB)
+            blk = jnp.any(pm & (act_f[:, None] > 0.0), axis=0)    # (NB,)
+            state, eta_diff = cavi_sweep_mixture_pallas_skip_batch(
+                ld, c['state'], std_beta, n_per_snp, hy, act_f, blk,
+                tile=tile, inner_steps=inner_steps)
+        elif use_pallas:
             from .cavi_pallas import cavi_sweep_mixture_pallas_batch
             state, eta_diff = cavi_sweep_mixture_pallas_batch(
                 ld, c['state'], std_beta, n_per_snp, hy, act_f,
