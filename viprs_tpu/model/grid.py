@@ -95,10 +95,11 @@ class VIPRSGrid(VIPRS):
             return self._update_fix_mask_single()
         gridded = set(k for k in _GRID_KEYS if k in self.grid_table.columns)
         fixed = gridded | set(self.fix_params)
+        # host numpy (driver-side reads must not block on the device queue):
         self._fix_mask = FixMask(
-            sigma_eps=jnp.full(S, 'sigma_epsilon' in fixed, bool),
-            tau_beta=jnp.full(S, 'tau_beta' in fixed, bool),
-            pi=jnp.full(S, 'pi' in fixed, bool))
+            sigma_eps=np.full(S, 'sigma_epsilon' in fixed, bool),
+            tau_beta=np.full(S, 'tau_beta' in fixed, bool),
+            pi=np.full(S, 'pi' in fixed, bool))
 
     # -------------------------------------------------------------------- fit
     def fit(self, pathwise=False, **fit_kwargs):
@@ -246,6 +247,6 @@ class VIPRSGrid(VIPRS):
 
     def _update_fix_mask_single(self):
         self._fix_mask = FixMask(
-            sigma_eps=jnp.full(1, 'sigma_epsilon' in self.fix_params, bool),
-            tau_beta=jnp.full(1, 'tau_beta' in self.fix_params, bool),
-            pi=jnp.full(1, 'pi' in self.fix_params, bool))
+            sigma_eps=np.full(1, 'sigma_epsilon' in self.fix_params, bool),
+            tau_beta=np.full(1, 'tau_beta' in self.fix_params, bool),
+            pi=np.full(1, 'pi' in self.fix_params, bool))

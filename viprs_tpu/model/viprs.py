@@ -324,10 +324,14 @@ class VIPRS(BayesPRSModel):
 
     def _update_fix_mask(self):
         S = self._S
+        # host numpy, NOT device arrays: the driver reads these masks every
+        # chunk (restart gating) and each read of a device array blocks on
+        # the device queue — measured 50 ms/fit on the axon tunnel
+        # (benchmarks/trace_syncs). em_fit converts at dispatch.
         self._fix_mask = FixMask(
-            sigma_eps=jnp.full(S, 'sigma_epsilon' in self.fix_params, bool),
-            tau_beta=jnp.full(S, 'tau_beta' in self.fix_params, bool),
-            pi=jnp.full(S, 'pi' in self.fix_params, bool))
+            sigma_eps=np.full(S, 'sigma_epsilon' in self.fix_params, bool),
+            tau_beta=np.full(S, 'tau_beta' in self.fix_params, bool),
+            pi=np.full(S, 'pi' in self.fix_params, bool))
 
     def initialize(self, theta_0=None, param_0=None):
         logger.debug("> Initializing model parameters")
@@ -737,7 +741,9 @@ class VIPRS(BayesPRSModel):
         self._track_iteration()
 
         counters = em_loop.init_counters(S)
-        active = jnp.ones(S, bool)
+        # active/statuses bookkeeping stays on the HOST: reading a device
+        # array here blocks on the in-flight chunk (~190 ms/fit measured):
+        active = np.ones(S, bool)
         restarts = 0
         it_done = 0
         pbar = self._make_pbar(max_iter) if not disable_pbar else None
@@ -931,13 +937,12 @@ class VIPRS(BayesPRSModel):
                 counters = em_loop.EMCounters(
                     *(jnp.where(mask_dev, f, c)
                       for f, c in zip(fresh, counters)))
-                active = jnp.asarray(restart_mask
-                                     | (statuses == opt.MAX_ITER))
+                active = restart_mask | (statuses == opt.MAX_ITER)
                 continue
 
             # lanes with status MAX_ITER only exhausted this chunk's budget:
-            active = jnp.asarray(statuses == opt.MAX_ITER)
-            if not bool(np.asarray(active).any()):
+            active = statuses == opt.MAX_ITER
+            if not active.any():
                 break
 
         if pbar is not None:
