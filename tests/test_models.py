@@ -204,6 +204,45 @@ class TestVIPRS:
         assert 0 <= r2 <= 1.0
 
 
+class TestInGraphRestart:
+    """The single-dispatch S=1 path folds restart-on-negative-MSE into the
+    fused loop (em_loop.em_fit max_restarts>0). Its trajectory must be
+    BIT-IDENTICAL to the chunked host-restart path (reference
+    VIPRS.py:1025-1038 semantics), for nominal and pathological inputs."""
+
+    @pytest.mark.parametrize('scale,expect_restart', [(1.0, False),
+                                                      (3.0, True)])
+    def test_matches_host_restart_path(self, scale, expect_restart):
+        sim = simulate_sumstats_blocks(n=1500, block_sizes=(96, 80), h2=0.3,
+                                       prop_causal=0.05, seed=0)
+        sb = {c: scale * v for c, v in sim['std_beta'].items()}
+        ds = SummaryStatsDataset.from_dense_blocks(
+            sim['ld_blocks'], sb, sim['n_per_snp'], block_size=128)
+
+        np.random.seed(7)
+        m1 = VIPRS(ds, mesh='off')
+        m1.fit(max_iter=60)                  # one dispatch, in-graph restart
+        h1 = np.array([float(np.atleast_1d(v)[0])
+                       for v in m1.history['ELBO']])
+        np.random.seed(7)
+        m2 = VIPRS(ds, mesh='off')
+        m2.fit(max_iter=60, chunk_iters=25)  # chunked => host restart
+        h2 = np.array([float(np.atleast_1d(v)[0])
+                       for v in m2.history['ELBO']])
+
+        assert len(h1) == len(h2)
+        assert np.array_equal(h1, h2, equal_nan=True)
+        assert m1.optim_result.message == m2.optim_result.message
+        assert m1.optim_result.nit == m2.optim_result.nit
+        assert m1.fix_params == m2.fix_params
+        assert (m1.fix_params.get('sigma_epsilon') == 0.95) == expect_restart
+        e1 = np.concatenate([np.asarray(m1.post_mean_beta[c])
+                             for c in m1.chromosomes])
+        e2 = np.concatenate([np.asarray(m2.post_mean_beta[c])
+                             for c in m2.chromosomes])
+        assert np.array_equal(e1, e2)
+
+
 class TestVIPRSMix:
 
     def test_smoke_fit(self, dataset, sim):

@@ -173,15 +173,22 @@ class VIPRS(BayesPRSModel):
         self._n_flat = nf
 
     def _inputs_are_dataset_views(self):
-        """True when std_beta/n_per_snp are the dataset's own arrays
-        (object identity — np.asarray(x, float64) on float64 input is a
-        no-copy passthrough in the base constructor)."""
+        """True when std_beta/n_per_snp alias the dataset's own arrays
+        (np.asarray(x, float64) in the base constructor is a no-copy
+        passthrough for float64 input — but may return a new VIEW object,
+        e.g. for unpickled arrays whose buffer is a base object, so compare
+        the underlying memory, not object identity)."""
+        def same_buffer(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            return (a.dtype == b.dtype and a.shape == b.shape
+                    and a.__array_interface__['data'][0]
+                    == b.__array_interface__['data'][0])
         ds = self.dataset
         try:
             return (self.validation_std_beta is None
-                    and all(self.std_beta[c] is ds.std_beta[c]
+                    and all(same_buffer(self.std_beta[c], ds.std_beta[c])
                             for c in ds.std_beta)
-                    and all(self.n_per_snp[c] is ds.n_per_snp[c]
+                    and all(same_buffer(self.n_per_snp[c], ds.n_per_snp[c])
                             for c in ds.n_per_snp))
         except (KeyError, TypeError):
             return False
@@ -746,6 +753,31 @@ class VIPRS(BayesPRSModel):
         active = np.ones(S, bool)
         restarts = 0
         it_done = 0
+
+        # Single-dispatch fits (S=1, fresh, one chunk) fold the
+        # restart-on-negative-MSE into the fused loop itself: the restart
+        # theta is PRE-drawn here (the same single np.random.uniform the
+        # host restart would make at restart time, VIPRS.py:1032; the
+        # stream only diverges from the reference when no restart ends up
+        # firing), and em_fit resets the lane in-graph — the whole fit is
+        # one dispatch + one result pull. Chunked/grid runs keep the host
+        # restart (identical trajectory either way; tests assert it).
+        ingraph_restart = (S == 1 and chunk_iters >= max_iter
+                           and max_restarts == 1 and not continued
+                           and 'sigma_epsilon' not in self.fix_params)
+        r_hyper = r_logits = None
+        if ingraph_restart:
+            r_pi, r_se, r_tau = self._resolve_theta0(
+                {**dict(theta_0 or {}), 'sigma_epsilon': 0.95})
+            r_hyper = Hyper(
+                sigma_eps=jnp.full(S, r_se, F64),
+                tau_beta=jnp.full(S, r_tau, F64),
+                pi=jnp.full(S, r_pi, F64),
+                lambda_min=jnp.asarray(
+                    np.atleast_1d(np.asarray(self._hyper.lambda_min,
+                                             dtype=np.float64)), F64))
+            r_logits = jnp.full(S, _logit(r_pi), F32)
+            restarts = max_restarts   # the host ladder must not re-fire
         pbar = self._make_pbar(max_iter) if not disable_pbar else None
 
         # Merged per-lane results across chunks (compacted sub-runs report
@@ -830,7 +862,9 @@ class VIPRS(BayesPRSModel):
                     patience=patience, tile=self.tile,
                     use_pallas=run_pallas, use_skip=run_skip,
                     i0=it_done, counters0=counters_in,
-                    sigma_g0=jnp.asarray(sigma_g_in, F64))
+                    sigma_g0=jnp.asarray(sigma_g_in, F64),
+                    max_restarts=1 if ingraph_restart else 0,
+                    restart_hyper=r_hyper, restart_logits=r_logits)
 
             if compact:
                 sel_j = jnp.asarray(sel)
@@ -880,10 +914,18 @@ class VIPRS(BayesPRSModel):
                 # including the hyperparameters; separate pulls each pay the
                 # accelerator round trip):
                 (hyper_np, sg_np, status_np, nit_np, med_np, n_total_np,
-                 fe_np, hist_dev) = jax.device_get(
+                 fe_np, hist_dev, ru_np) = jax.device_get(
                     (res.hyper, res.sigma_g, res.status, res.nit,
                      res.max_eta_diff, res.n_iter_total, res.final_elbo,
-                     res.elbo_hist))
+                     res.elbo_hist, res.restarts_used))
+                if ingraph_restart and int(np.asarray(ru_np).max()) > 0:
+                    # mirror the in-graph restart on the host bookkeeping
+                    # (what _restart_models would have done):
+                    logger.info("MSE was negative; the fused loop restarted "
+                                "with sigma_epsilon fixed at 0.95 "
+                                "(reference behavior).")
+                    self.fix_params['sigma_epsilon'] = 0.95
+                    self._update_fix_mask()
                 self._state = res.state
                 self._hyper = Hyper(*(np.asarray(x, dtype=np.float64)
                                       for x in hyper_np))

@@ -54,6 +54,8 @@ class EMCarry(NamedTuple):
     damping: jnp.ndarray         # (S,) f32
     elbo_hist: jnp.ndarray       # (max_iter+1, S) f64
     max_eta_diff: jnp.ndarray    # (S,) f32
+    fix_se: jnp.ndarray          # (S,) bool — sigma_eps fixed (set by restart)
+    restarts_left: jnp.ndarray   # (S,) i32 — in-graph restart budget
 
 
 class EMCounters(NamedTuple):
@@ -93,6 +95,7 @@ class EMResult(NamedTuple):
     final_mse: jnp.ndarray
     counters: EMCounters
     max_eta_diff: jnp.ndarray
+    restarts_used: jnp.ndarray = None  # (S,) i32 — in-graph restarts taken
 
 
 def _hyper_f32(h: Hyper) -> Hyper:
@@ -100,7 +103,8 @@ def _hyper_f32(h: Hyper) -> Hyper:
 
 
 @partial(jax.jit, static_argnames=(
-    'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas', 'use_skip'))
+    'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas', 'use_skip',
+    'max_restarts'))
 def em_fit(ld: BlockLD,
            state0: CaviState,
            std_beta, n_per_snp,
@@ -121,7 +125,10 @@ def em_fit(ld: BlockLD,
            use_skip: bool = False,
            i0=0,
            counters0: EMCounters = None,
-           sigma_g0=None):
+           sigma_g0=None,
+           max_restarts: int = 0,
+           restart_hyper: Hyper = None,
+           restart_logits=None):
     """Run the fused EM loop until every model terminates (or max_iter).
 
     :param init_elbo: (S,) f64 — ELBO of the initial state (history slot 0;
@@ -133,6 +140,17 @@ def em_fit(ld: BlockLD,
         counted from the start of the whole optimization, not the chunk).
     :param counters0: convergence-ladder carry for chunked runs (None = fresh).
     :param sigma_g0: (S,) f64 sigma_g carry for chunked runs (None = zeros).
+    :param max_restarts: in-graph restart-on-negative-MSE budget per lane
+        (reference VIPRS.py:1025-1038). With ``max_restarts > 0``, a lane
+        whose MSE goes negative is reset INSIDE the loop — variational state
+        re-initialized from ``restart_logits`` (f32 (S,) logit of the
+        restart pi draw), hyperparameters from ``restart_hyper`` (pre-drawn
+        on the host so the np.random stream matches the reference's
+        restart-time draw), sigma_eps fixed at restart_hyper.sigma_eps from
+        then on, counters/sigma_g reset, and the fresh initial objective
+        computed in-graph — the whole fit stays ONE dispatch. The driver
+        enables this only on the single-dispatch S=1 path; chunked runs keep
+        the host restart (identical trajectory either way).
     :returns: EMResult (``status == MAX_ITER`` means the lane ran out of THIS
         call's iteration budget — a chunked driver continues those lanes).
     """
@@ -173,6 +191,8 @@ def em_fit(ld: BlockLD,
         damping=ctr.damping,
         elbo_hist=elbo_hist,
         max_eta_diff=jnp.zeros(S, F32),
+        fix_se=jnp.broadcast_to(jnp.asarray(fix.sigma_eps, bool), (S,)),
+        restarts_left=jnp.full(S, max_restarts, I32),
     )
 
     def cond(c: EMCarry):
@@ -226,11 +246,16 @@ def em_fit(ld: BlockLD,
         stats = updates.collect_stats(state, var_tau, std_beta, mask)
 
         # ---- M-step ----
-        hyper, sigma_g = updates.m_step(stats, c.hyper, fix, m_total, c.active)
+        # fix.sigma_eps lives in the carry: an in-graph restart fixes it
+        # mid-run (reference VIPRS.py:1032-1036):
+        fix_cur = updates.FixMask(sigma_eps=c.fix_se, tau_beta=fix.tau_beta,
+                                  pi=fix.pi)
+        hyper, sigma_g = updates.m_step(stats, c.hyper, fix_cur, m_total,
+                                        c.active)
         sigma_g = jnp.where(c.active, sigma_g, c.sigma_g)
 
         # ---- objectives ----
-        curr_elbo = updates.elbo(stats, hyper, fix.sigma_eps, sigma_g,
+        curr_elbo = updates.elbo(stats, hyper, c.fix_se, sigma_g,
                                  n_sample, m_total)
         curr_elbo = jnp.where(c.active, curr_elbo, c.prev_elbo)
         curr_mse = updates.mse(stats, sigma_g)
@@ -288,6 +313,65 @@ def em_fit(ld: BlockLD,
         status = set_status(status, sigma_g_counter > patience, opt.CONVERGED_SIGMA_G)
         status = set_status(status, div_counter > patience, opt.DIVERGED_ELBO)
 
+        # ---- in-graph restart-on-negative-MSE (VIPRS.py:1025-1038) ----
+        fix_se = c.fix_se
+        restarts_left = c.restarts_left
+        prev_elbo_out = curr_elbo
+        if max_restarts > 0:
+            fire = (c.active & (status == opt.MSE_NEGATIVE)
+                    & (restarts_left > 0) & ~c.fix_se)
+            status = jnp.where(fire, opt.RUNNING, status)
+
+            def _apply_restart(ops):
+                (state, hyper, sigma_g, prev, dropped_, osc_, best_, stall_,
+                 sgc_, dvc_, damp_, fse_, left_) = ops
+                f3 = fire[:, None, None]
+                zero = jnp.zeros((), F32)
+                rstate = CaviState(
+                    logits=jnp.where(
+                        f3, restart_logits.astype(F32)[:, None, None],
+                        state.logits),
+                    mu=jnp.where(f3, zero, state.mu),
+                    eta=jnp.where(f3, zero, state.eta),
+                    q=jnp.where(f3, zero, state.q))
+                # round through f32 exactly like a host re-dispatch would
+                # (the host passes hyper0 as _hyper_f32 and em_fit carries
+                # its f64 upcast — 0.95 becomes 0.94999998...):
+                rh32 = _hyper_f32(restart_hyper)
+                rhyper = Hyper(
+                    sigma_eps=jnp.where(fire, rh32.sigma_eps.astype(F64),
+                                        hyper.sigma_eps),
+                    tau_beta=jnp.where(fire, rh32.tau_beta.astype(F64),
+                                       hyper.tau_beta),
+                    pi=jnp.where(fire, rh32.pi.astype(F64), hyper.pi),
+                    lambda_min=hyper.lambda_min)
+                rsg = jnp.where(fire, 0.0, sigma_g)
+                nfix = fse_ | fire
+                # fresh initial objective for the reset lanes (identical
+                # arithmetic to the init_elbo=None entry path):
+                h32r = _hyper_f32(rhyper)
+                vt0 = updates.compute_var_tau(n_per_snp, h32r)
+                st0 = updates.collect_stats(rstate, vt0, std_beta, mask)
+                fe = updates.elbo(st0, h32r, nfix, rsg, n_sample, m_total)
+                fresh = init_counters(S)
+                return (rstate, rhyper, rsg, jnp.where(fire, fe, prev),
+                        jnp.where(fire, fresh.prev_dropped, dropped_),
+                        jnp.where(fire, fresh.osc_counter, osc_),
+                        jnp.where(fire, fresh.best_elbo, best_),
+                        jnp.where(fire, fresh.stall_counter, stall_),
+                        jnp.where(fire, fresh.sigma_g_counter, sgc_),
+                        jnp.where(fire, fresh.div_counter, dvc_),
+                        jnp.where(fire, fresh.damping, damp_),
+                        nfix, left_ - fire.astype(I32))
+
+            ops = (state, hyper, sigma_g, prev_elbo_out, dropped, osc,
+                   best_elbo, stall, sigma_g_counter, div_counter, damping,
+                   fix_se, restarts_left)
+            (state, hyper, sigma_g, prev_elbo_out, dropped, osc, best_elbo,
+             stall, sigma_g_counter, div_counter, damping, fix_se,
+             restarts_left) = lax.cond(jnp.any(fire), _apply_restart,
+                                       lambda o: o, ops)
+
         newly_done = c.active & (status != opt.RUNNING)
         status = jnp.where(newly_done, status, c.status)
         active = c.active & ~newly_done
@@ -298,11 +382,12 @@ def em_fit(ld: BlockLD,
 
         return EMCarry(state=state, hyper=hyper, sigma_g=sigma_g, i=i,
                        active=active, status=status, nit=nit,
-                       prev_elbo=curr_elbo, prev_dropped=dropped,
+                       prev_elbo=prev_elbo_out, prev_dropped=dropped,
                        osc_counter=osc, best_elbo=best_elbo,
                        stall_counter=stall, sigma_g_counter=sigma_g_counter,
                        div_counter=div_counter, damping=damping,
-                       elbo_hist=hist, max_eta_diff=max_ed)
+                       elbo_hist=hist, max_eta_diff=max_ed,
+                       fix_se=fix_se, restarts_left=restarts_left)
 
     c = lax.while_loop(cond, body, carry)
 
@@ -327,4 +412,6 @@ def em_fit(ld: BlockLD,
                         sigma_g_counter=c.sigma_g_counter,
                         div_counter=c.div_counter,
                         damping=c.damping),
-                    max_eta_diff=c.max_eta_diff)
+                    max_eta_diff=c.max_eta_diff,
+                    restarts_used=jnp.full(S, max_restarts, I32)
+                    - c.restarts_left)
