@@ -274,3 +274,41 @@ def test_internal_errors_surface_unmasked(pipeline_data):
     assert 'deliberate-bug-sentinel' in combined and 'ZeroDivisionError' in combined
     # and it must NOT have been re-routed through the divergence retry:
     assert 'retrying with inferred' not in combined.lower()
+
+
+def test_warmup_precompiles_the_fit_program(pipeline_data, tmp_path):
+    """viprs_warmup compiles the exact em_fit program a later fit dispatches:
+    after a warmup into a FRESH persistent cache, the fit process adds no new
+    cache entries (VERDICT r4: cold-start mitigation)."""
+    cache = str(tmp_path / 'jaxcache')
+
+    def run_with_cache(args):
+        env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=REPO,
+                   VIPRS_TPU_COMPILE_CACHE_DIR=cache)
+        res = subprocess.run([sys.executable] + args, capture_output=True,
+                             text=True, cwd=REPO, env=env, timeout=900)
+        assert res.returncode == 0, f"failed:\n{res.stdout}\n{res.stderr}"
+        return res
+
+    run_with_cache(['bin/viprs_warmup', '-l', pipeline_data['store'],
+                    '--block-size', '128', '--max-iter', '300'])
+    entries_after_warm = set(os.listdir(cache))
+    assert entries_after_warm, "warmup produced no persistent-cache entries"
+
+    out = str(tmp_path / 'warmed' / 'out')
+    run_with_cache(['bin/viprs_fit', '-l', pipeline_data['store'],
+                    '-s', pipeline_data['sumstats'],
+                    '--output-file', out, '--block-size', '128',
+                    '--max-iter', '300', '--seed', '3'])
+    new = set(os.listdir(cache)) - entries_after_warm
+    # the fit may add small helper programs (posterior moments etc.) but the
+    # expensive fused loop must have been served from the warmed cache — no
+    # entry anywhere near the em_fit program's size should appear:
+    big_new = [f for f in new
+               if os.path.getsize(os.path.join(cache, f)) >
+               0.5 * max(os.path.getsize(os.path.join(cache, f2))
+                         for f2 in entries_after_warm)]
+    assert not big_new, (
+        f"fit recompiled large programs after warmup: {big_new} "
+        f"(new={sorted(new)})")
+    assert os.path.exists(out + '.fit.gz')
