@@ -110,15 +110,26 @@ def main():
                      sigma_eps=float(model.sigma_epsilon),
                      n_samples=120, n_leapfrog=10, seed=3)
     t_hmc = time.time() - t0
+    # steady-state (the first call pays the two scan compiles):
+    t0 = time.time()
+    hmc = hmc_refine(ds, gmask, pi=float(model.pi),
+                     tau_beta=float(model.tau_beta),
+                     sigma_eps=float(model.sigma_epsilon),
+                     n_samples=120, n_leapfrog=10, seed=4)
+    t_hmc_steady = time.time() - t0
     h_eta = np.concatenate([hmc['post_mean_beta'][c]
                             for c in model.chromosomes])
     sel = np.concatenate([gmask[c] for c in model.chromosomes]) > 0
     eta_r = np.corrcoef(vi_eta[sel], h_eta[sel])[0, 1] if sel.any() else np.nan
-    log(f"HMC(4 chains, 120 samples): {t_hmc:.2f}s  accept "
-        f"{hmc['accept_rate']:.2f}  eta corr (selected) {eta_r:.4f}")
-    rows.append(dict(name="HMC(refine)", seconds=t_hmc,
-                     eta_corr_selected=eta_r,
-                     accept=hmc['accept_rate']))
+    log(f"HMC(4 chains, 120 samples): cold {t_hmc:.2f}s / steady "
+        f"{t_hmc_steady:.2f}s  accept {hmc['accept_rate']:.2f} "
+        f"(warmup {hmc['warmup_accept_rate']:.2f}, eps {hmc['step_size']:.3f})"
+        f"  eta corr (selected) {eta_r:.4f}")
+    rows.append(dict(name="HMC(refine)", seconds=t_hmc_steady,
+                     seconds_cold=t_hmc, eta_corr_selected=eta_r,
+                     accept=hmc['accept_rate'],
+                     warmup_accept=hmc['warmup_accept_rate'],
+                     step_size=hmc['step_size']))
 
     import json
     print(json.dumps({'m': ds.m, 'vi_seconds': t_vi, 'rows': rows}))

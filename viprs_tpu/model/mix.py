@@ -487,14 +487,15 @@ class VIPRSMix(BayesPRSModel):
 
         restarts = 0
         while True:
-            init_elbo = jnp.asarray(self.elbo(), jnp.float64)
+            # the initial objective (history slot 0) is computed IN-GRAPH by
+            # the dispatch (init_elbo=None) — no pre-dispatch ELBO sync:
             with self._mesh_context():
                 res = mix_em_fit(
                     self._ld, self._state, self._std_beta_flat,
                     self._n_flat, self._hyper_f32(), self._mix_fix(),
                     jnp.asarray(self.d, jnp.float32),
                     n_sample=float(self.n), m_total=float(self.m),
-                    init_elbo=init_elbo, max_iter=max_iter, min_iter=min_iter,
+                    init_elbo=None, max_iter=max_iter, min_iter=min_iter,
                     f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
                     tile=self.tile, use_pallas=use_pallas, use_skip=use_skip)
 

@@ -85,10 +85,25 @@ def mix_em_fit(ld: BlockLD,
                inner_steps: int = 8,
                use_pallas: bool = False,
                use_skip: bool = False):
-    """Fused mixture EM. ``d_mult``: (K,) prior-variance multipliers."""
+    """Fused mixture EM. ``d_mult``: (K,) prior-variance multipliers.
+
+    ``init_elbo=None`` computes the initial objective in-graph from
+    ``state0`` (one dispatch for the whole fit — same contract as
+    em_loop.em_fit)."""
+    from .cavi_mix import mix_var_tau, mix_stats
+
     K = hyper0.pi.shape[0]
     mask = ld.mask
     d64 = d_mult.astype(F64)
+
+    if init_elbo is None:
+        hy0 = MixHyper(*(x.astype(F32) for x in hyper0))
+        vt0 = mix_var_tau(n_per_snp, hy0)
+        stats0 = mix_stats(state0, vt0, std_beta, mask)
+        init_elbo = _mix_elbo(stats0, hy0, fix.sigma_eps,
+                              jnp.asarray(0.0, F64), n_sample, m_total, d64)
+    else:
+        init_elbo = jnp.asarray(init_elbo, F64)
 
     elbo_hist = jnp.full((max_iter + 1,), jnp.nan, dtype=F64)
     elbo_hist = elbo_hist.at[0].set(init_elbo)
