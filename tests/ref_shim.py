@@ -70,6 +70,13 @@ class ShimLDMatrix:
     def ld_scores(self):
         return (self.R ** 2).sum(axis=1)
 
+    def dot(self, beta):
+        """LDMatrix.dot (use-sites pseudo_metrics.py:64, BayesPRSModel:404)."""
+        return self.R @ np.asarray(beta)
+
+    def release(self):
+        pass
+
 
 class ShimSumstats:
     def __init__(self, std_beta, n_per_snp):
@@ -83,8 +90,11 @@ class ShimSumstats:
 class ShimGWADataLoader:
     """Duck-typed magenpy.GWADataLoader carrying in-memory synthetic data."""
 
-    def __init__(self, ld_blocks, std_beta, n_per_snp):
-        """ld_blocks: {chrom: [dense blocks]}; std_beta/n_per_snp: {chrom: (M,)}."""
+    def __init__(self, ld_blocks, std_beta, n_per_snp, snp_tables=None):
+        """ld_blocks: {chrom: [dense blocks]}; std_beta/n_per_snp: {chrom: (M,)};
+        snp_tables: optional {chrom: DataFrame[SNP, A1, A2]} variant metadata
+        (synthesized deterministically when absent)."""
+        import pandas as pd
         from scipy.linalg import block_diag
         self.ld = {c: ShimLDMatrix(block_diag(*blocks))
                    for c, blocks in ld_blocks.items()}
@@ -94,6 +104,33 @@ class ShimGWADataLoader:
         self.genotype = None
         self.sample_table = None
         self.phenotype_likelihood = None
+        if snp_tables is None:
+            # matches SummaryStatsDataset.default_snp_table so head-to-head
+            # tables merge on identical variant ids:
+            snp_tables = {
+                c: pd.DataFrame({
+                    'CHR': c,
+                    'SNP': [f'rs_{c}_{i}' for i in range(len(std_beta[c]))],
+                    'A1': 'A', 'A2': 'G'})
+                for c in std_beta}
+        self.snp_tables = snp_tables
+
+    def to_summary_statistics_table(self, col_subset=None,
+                                    per_chromosome=False):
+        """Consumed by pseudo_metrics._match_variant_stats
+        (pseudo_metrics.py:31-33)."""
+        import pandas as pd
+        out = {}
+        for c, ss in self.sumstats_table.items():
+            t = self.snp_tables[c].copy()
+            t['CHR'] = c
+            t['STD_BETA'] = ss.get_snp_pseudo_corr()
+            if col_subset is not None:
+                t = t[[cc for cc in col_subset if cc in t.columns]]
+            out[c] = t
+        if per_chromosome:
+            return out
+        return pd.concat(list(out.values()), ignore_index=True)
 
     @property
     def m(self):
@@ -143,10 +180,16 @@ def _install_magenpy_shim():
     cu.is_numeric = _shim_is_numeric
     mu_ = types.ModuleType('magenpy.utils.model_utils')
 
+    # This framework's own allele-aware merge stands in for magenpy's —
+    # running the reference's harmonization/pseudo-validation through it is
+    # itself a head-to-head check of the transcription
+    # (viprs_tpu/data/harmonize.py vs magenpy.utils.model_utils):
+    from viprs_tpu.data.harmonize import merge_snp_tables as _our_merge
+    mu_.merge_snp_tables = _our_merge
+
     def _not_needed(*a, **k):
         raise NotImplementedError(
-            "magenpy shim: only the fit() surface is provided")
-    mu_.merge_snp_tables = _not_needed
+            "magenpy shim: PUMAS splitting is dataset-layout-specific here")
     mu_.sumstats_train_test_split = _not_needed
 
     stats = types.ModuleType('magenpy.stats')
@@ -168,6 +211,61 @@ def _install_magenpy_shim():
     sys.modules['magenpy.stats'] = stats
     sys.modules['magenpy.stats.h2'] = h2m
     sys.modules['magenpy.stats.h2.ldsc'] = ldsc
+
+
+def _install_statsmodels_shim():
+    """statsmodels is absent from this environment; the reference's eval
+    layer only touches sm.add_constant / OLS / Logit / Probit with
+    .fit().{llf, rsquared, predict(), resid} — map those onto this
+    framework's native GLM (viprs_tpu/eval/glm.py), so the reference's
+    metric FORMULAS (pseudo-R2s, liability family, incremental R2) run
+    head-to-head."""
+    if 'statsmodels.api' in sys.modules:
+        return
+    try:
+        import statsmodels.api  # noqa: F401 — real package present
+        return
+    except ImportError:
+        pass
+    import numpy as _np
+    import pandas as _pd
+    from viprs_tpu.eval import glm as _glm
+
+    def add_constant(x):
+        df = _pd.DataFrame(x).copy()
+        df.insert(0, 'const', 1.0)
+        return df
+
+    class _Model:
+        family = 'gaussian'
+        link = None
+
+        def __init__(self, y, x):
+            self.y = _np.asarray(y, dtype=float)
+            self.x = _np.asarray(x, dtype=float)
+
+        def fit(self, disp=0):
+            if self.family == 'gaussian':
+                return _glm.fit_ols(self.y, self.x, add_intercept=False)
+            return _glm.fit_binomial(self.y, self.x, link=self.link,
+                                     add_intercept=False)
+
+    class OLS(_Model):
+        family = 'gaussian'
+
+    class Logit(_Model):
+        family, link = 'binomial', 'logit'
+
+    class Probit(_Model):
+        family, link = 'binomial', 'probit'
+
+    api = types.ModuleType('statsmodels.api')
+    api.add_constant = add_constant
+    api.OLS, api.Logit, api.Probit = OLS, Logit, Probit
+    root = types.ModuleType('statsmodels')
+    root.api = api
+    sys.modules['statsmodels'] = root
+    sys.modules['statsmodels.api'] = api
 
 
 # --------------------------------------------------------------------------
@@ -249,6 +347,7 @@ def load_reference_viprs():
     if _ref_viprs is not None:
         return _ref_viprs
     _install_magenpy_shim()
+    _install_statsmodels_shim()
     _install_e_step_cpp_shim()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
