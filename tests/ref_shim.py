@@ -115,6 +115,20 @@ class ShimGWADataLoader:
                 for c in std_beta}
         self.snp_tables = snp_tables
 
+    def to_snp_table(self, col_subset=None, per_chromosome=False):
+        """Consumed by BayesPRSModel.to_table (BayesPRSModel.py:345)."""
+        import pandas as pd
+        out = {}
+        for c, tab in self.snp_tables.items():
+            t = tab.copy()
+            t['CHR'] = c
+            if col_subset is not None:
+                t = t[[cc for cc in col_subset if cc in t.columns]]
+            out[c] = t
+        if per_chromosome:
+            return out
+        return pd.concat(list(out.values()), ignore_index=True)
+
     def to_summary_statistics_table(self, col_subset=None,
                                     per_chromosome=False):
         """Consumed by pseudo_metrics._match_variant_stats

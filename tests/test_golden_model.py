@@ -290,3 +290,69 @@ class TestGridHeadToHead:
         our_elbos = np.asarray(go.validation_result['ELBO'], dtype=np.float64)
 
         np.testing.assert_allclose(ref_elbos, our_elbos, rtol=0, atol=0.05)
+
+
+class TestGridUtilsHeadToHead:
+    """Reference grid_utils (select_best_model / bayesian_model_average,
+    grid_utils.py:8-193) driven on the reference's own fitted VIPRSGrid vs
+    this framework's gridsearch/search.py on the same grid."""
+
+    PIS = np.array([0.002, 0.01, 0.05])
+    THETA = {'sigma_epsilon': 0.7, 'tau_beta': 500.0}
+
+    def _fit_both(self, sim, dataset):
+        import importlib
+        gdl = ref_shim.make_ref_gdl(sim)
+        hg = importlib.import_module(
+            'viprs.model.gridsearch.HyperparameterGrid').HyperparameterGrid(
+            pi_grid=self.PIS, n_snps=gdl.m)
+        vg = importlib.import_module(
+            'viprs.model.gridsearch.VIPRSGrid').VIPRSGrid(
+            gdl, grid=hg, float_precision='float64')
+        np.random.seed(3)
+        vg.fit(max_iter=300, disable_pbar=True, theta_0=dict(self.THETA))
+
+        grid = HyperparameterGrid(pi_grid=self.PIS, n_snps=dataset.m)
+        np.random.seed(3)
+        go = VIPRSGrid(dataset, grid, mesh='off')
+        go.fit(max_iter=300, theta_0=dict(self.THETA))
+        return vg, go
+
+    def test_select_best_model_elbo(self, sim, dataset):
+        from viprs_tpu.gridsearch import select_best_model
+        import importlib
+        gu = importlib.import_module('viprs.model.gridsearch.grid_utils')
+
+        vg, go = self._fit_both(sim, dataset)
+        gu.select_best_model(vg, criterion='ELBO')
+        select_best_model(go, criterion='ELBO')
+
+        # both collapse to the same winning grid point:
+        np.testing.assert_allclose(float(np.atleast_1d(vg.pi)[0]),
+                                   float(np.atleast_1d(go.pi)[0]), rtol=1e-6)
+        np.testing.assert_allclose(
+            _concat(vg.post_mean_beta).ravel(),
+            _concat(go.post_mean_beta).ravel(), rtol=0, atol=1e-5)
+
+    def test_bayesian_model_average(self, sim, dataset):
+        from viprs_tpu.gridsearch import bayesian_model_average
+        import importlib
+        gu = importlib.import_module('viprs.model.gridsearch.grid_utils')
+
+        vg, go = self._fit_both(sim, dataset)
+        assert all(r.success for r in go.optim_results)
+        gu.bayesian_model_average(vg)
+        bayesian_model_average(go)
+
+        np.testing.assert_allclose(
+            _concat(vg.post_mean_beta).ravel(),
+            _concat(go.post_mean_beta).ravel(), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(
+            _concat(vg.pip).ravel(), _concat(go.pip).ravel(),
+            rtol=0, atol=1e-4)
+        # the refreshed (unconstrained m-step) hyperparameters agree:
+        np.testing.assert_allclose(vg.get_heritability(),
+                                   go.get_heritability(), rtol=1e-4)
+        np.testing.assert_allclose(float(np.atleast_1d(vg.sigma_epsilon)[0]),
+                                   float(np.atleast_1d(go.sigma_epsilon)[0]),
+                                   rtol=1e-4)
