@@ -121,3 +121,21 @@ class TestDriverIntegration:
         m = VIPRS(dataset, mesh='off')
         with pytest.raises(ValueError, match='TPU'):
             m.fit(max_iter=2, sweep_impl='skip')
+
+
+class TestMixGridDriverIntegration:
+
+    def test_mix_grid_rejects_pallas_off_tpu(self, dataset):
+        import pandas as pd
+        from viprs_tpu.model import VIPRSMixGrid
+        from viprs_tpu.gridsearch import HyperparameterGrid
+        grid = HyperparameterGrid(pi_grid=np.array([0.01, 0.05]),
+                                  n_snps=dataset.m)
+        g = VIPRSMixGrid(dataset, grid, K=2, mesh='off')
+        with pytest.raises(ValueError, match='TPU'):
+            g.fit(max_iter=2, sweep_impl='skip')
+        with pytest.raises(ValueError, match='sweep_impl'):
+            g.fit(max_iter=2, sweep_impl='bogus')
+        # explicit 'xla' always works:
+        g.fit(max_iter=5, sweep_impl='xla')
+        assert len(g.optim_results) == 2

@@ -356,3 +356,45 @@ class TestGridUtilsHeadToHead:
         np.testing.assert_allclose(float(np.atleast_1d(vg.sigma_epsilon)[0]),
                                    float(np.atleast_1d(go.sigma_epsilon)[0]),
                                    rtol=1e-4)
+
+
+class TestHyperparameterGridHeadToHead:
+    """The reference's own HyperparameterGrid (h2-percentile sigma_eps /
+    tau_beta grids, log-pi bounds, lambda_min grid, Cartesian combine —
+    HyperparameterGrid.py:30-257) vs gridsearch/grid.py on identical inputs."""
+
+    def test_generated_grids_match(self):
+        import importlib
+        ref_hg = importlib.import_module(
+            'viprs.model.gridsearch.HyperparameterGrid').HyperparameterGrid
+        kw = dict(sigma_epsilon_steps=5, tau_beta_steps=4, pi_steps=6,
+                  lambda_min_steps=3, h2_est=0.31, h2_se=0.04, n_snps=850_000)
+        np.random.seed(1)
+        theirs = ref_hg(**kw)
+        np.random.seed(1)
+        ours = HyperparameterGrid(**kw)
+
+        np.testing.assert_allclose(ours.sigma_epsilon, theirs.sigma_epsilon,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(ours.tau_beta, theirs.tau_beta, rtol=1e-12)
+        np.testing.assert_allclose(ours.pi, theirs.pi, rtol=1e-12)
+        np.testing.assert_allclose(ours.lambda_min, theirs.lambda_min,
+                                   rtol=1e-12)
+
+        t_ref = theirs.to_table()
+        t_our = ours.to_table()
+        assert len(t_ref) == len(t_our) == 5 * 4 * 6 * 3
+        for col in t_ref.columns:
+            np.testing.assert_allclose(
+                np.sort(t_our[col].values), np.sort(t_ref[col].values),
+                rtol=1e-12, err_msg=col)
+
+    def test_explicit_grids_match(self):
+        import importlib
+        ref_hg = importlib.import_module(
+            'viprs.model.gridsearch.HyperparameterGrid').HyperparameterGrid
+        pi = np.array([1e-4, 1e-3, 1e-2])
+        theirs = ref_hg(pi_grid=pi, n_snps=1e6)
+        ours = HyperparameterGrid(pi_grid=pi, n_snps=int(1e6))
+        np.testing.assert_allclose(ours.pi, theirs.pi, rtol=0)
+        assert len(ours.to_table()) == len(theirs.to_table()) == 3
