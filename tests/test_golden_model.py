@@ -166,6 +166,20 @@ class TestVIPRSHeadToHead:
         assert np.all(np.diff(hr) > -1e-6)
         assert np.all(np.diff(ho) > -1e-6)
 
+    def test_float32_default_precision(self, sim, dataset):
+        """The reference's SHIPPED default mode — float32 state driving the
+        compiled float32 e_step kernels — reaches the same fixed point as
+        this framework's f32-state/f64-reduction discipline."""
+        mr = _fit_ref(sim, float_precision='float32', fix_params=FIX,
+                      max_iter=100)
+        mo = _fit_ours(dataset, fix_params=FIX, max_iter=100)
+        assert mr.optim_result.success and mo.optim_result.success
+        np.testing.assert_allclose(
+            _concat(mr.post_mean_beta), _concat(mo.post_mean_beta),
+            rtol=0, atol=1e-5)
+        assert abs(float(mr.history['ELBO'][-1])
+                   - float(np.atleast_1d(mo.history['ELBO'][-1])[0])) < 1e-2
+
     def test_free_hypers(self, sim, dataset):
         theta0 = {'pi': 0.03, 'sigma_epsilon': 0.6, 'tau_beta': 800.0}
         gdl = ref_shim.make_ref_gdl(sim)
