@@ -37,12 +37,19 @@ def build_parser():
     p.add_argument('--grid-widths', dest='grid_widths', type=int, nargs='*',
                    default=[], help='Also precompile grid fits at these '
                                     'model counts (e.g. 100).')
+    p.add_argument('--dequantize-on-the-fly', dest='dequantize',
+                   action='store_true',
+                   help='Must match the later fits (int8 vs f32 LD in HBM '
+                        'changes the compiled program).')
+    p.add_argument('--mesh', dest='mesh', default='auto',
+                   help="Device mesh spec, as for viprs_fit ('auto', 'off', "
+                        "'NxM').")
     p.add_argument('--float-precision', dest='float_precision',
                    default='float32')
     return p
 
 
-def _shape_dataset(ld_dir, block_size):
+def _shape_dataset(ld_dir, block_size, quantize=False):
     """A dataset with the store's exact packed shapes and ZERO data —
     np.zeros blocks cost no physical memory until written, and the packer
     only needs shapes. No LD data is decompressed."""
@@ -58,52 +65,36 @@ def _shape_dataset(ld_dir, block_size):
         std_beta[c] = np.zeros(m_c)
         n_per_snp[c] = np.full(m_c, 1000.0)
     return SummaryStatsDataset.from_dense_blocks(
-        ld_blocks, std_beta, n_per_snp, block_size=block_size, quantize=True)
+        ld_blocks, std_beta, n_per_snp, block_size=block_size,
+        quantize=quantize)
 
 
-def warm(ds, S, max_iter, mixture_k=None):
+def warm(ds, S, max_iter, mesh='auto'):
     """Compile (into the persistent cache) the fused fit program for S lanes
-    on this dataset's shapes, without running it."""
-    import jax.numpy as jnp
-    from ..ops import em_loop
-    from ..ops.cavi_jax import CaviState, Hyper
-    from ..ops.updates import FixMask
-    from ..model._dispatch import select_sweep_impl
+    on this dataset's shapes, without running it.
 
-    lay = ds.layout
-    NB, B = lay.nb, lay.block_size
-    zeros = jnp.zeros((S, NB, B), jnp.float32)
-    state = CaviState(logits=zeros, mu=zeros, eta=zeros, q=zeros)
-    hyper = Hyper(sigma_eps=jnp.full(S, 0.9, jnp.float32),
-                  tau_beta=jnp.full(S, 1000.0, jnp.float32),
-                  pi=jnp.full(S, 0.01, jnp.float32),
-                  lambda_min=jnp.zeros(S, jnp.float32))
-    fix = FixMask(sigma_eps=np.zeros(S, bool), tau_beta=np.zeros(S, bool),
-                  pi=np.zeros(S, bool))
-    use_pallas, use_skip = select_sweep_impl(S, None, None)
-    kw = dict(n_sample=1000.0, m_total=float(ds.m), init_elbo=None,
-              active0=np.ones(S, bool), max_iter=max_iter, min_iter=3,
-              f_abs_tol=1e-6, x_abs_tol=1e-6, patience=10, tile=128,
-              use_pallas=use_pallas, use_skip=use_skip, i0=0,
-              counters0=em_loop.init_counters(S),
-              sigma_g0=jnp.zeros(S, jnp.float64))
-    if S == 1:
-        # the single-dispatch path compiles with the in-graph restart:
-        kw.update(max_restarts=1,
-                  restart_hyper=Hyper(
-                      sigma_eps=jnp.full(S, 0.95, jnp.float64),
-                      tau_beta=jnp.full(S, 1000.0, jnp.float64),
-                      pi=jnp.full(S, 0.01, jnp.float64),
-                      lambda_min=jnp.zeros(S, jnp.float64)),
-                  restart_logits=jnp.full(S, -4.0, jnp.float32))
+    Drives the REAL model driver with ``compile_only=True`` — the lowered
+    program is by construction the exact dispatch a later ``fit()`` makes
+    (same mesh resolution, same dispatch policy, same in-graph-restart
+    configuration); there is no separate arg transcription to drift."""
+    from ..model import VIPRS, VIPRSGrid
+    from ..gridsearch import HyperparameterGrid
+
     t0 = time.time()
-    lowered = em_loop.em_fit.lower(
-        ds.ld, state, ds.std_beta_flat(), ds.n_per_snp_flat(), hyper, fix,
-        **kw)
-    compiled = lowered.compile()
-    logger.info("compiled S=%d em_fit (%s sweep) in %.1fs", S,
-                'pallas' if use_pallas else 'xla', time.time() - t0)
-    return compiled
+    np_state = np.random.get_state()
+    try:
+        if S == 1:
+            model = VIPRS(ds, mesh=mesh)
+        else:
+            grid = HyperparameterGrid(pi_steps=S, n_snps=ds.m,
+                                      h2_est=0.1, h2_se=0.05)
+            model = VIPRSGrid(ds, grid, mesh=mesh)
+        model.fit(max_iter=max_iter, compile_only=True)
+    finally:
+        np.random.set_state(np_state)   # warmup must not perturb RNG streams
+    logger.info("compiled S=%d em_fit%s in %.1fs", S,
+                '' if model.mesh is None
+                else f" (mesh {dict(model.mesh.shape)})", time.time() - t0)
 
 
 def main(argv=None):
@@ -111,20 +102,25 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     import viprs_tpu  # noqa: F401  (enables x64 + the persistent cache)
     import jax
+    # the whole point of warmup is persisting — drop the min-compile-time
+    # gate (the package default skips persisting sub-second compiles):
+    try:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception:
+        pass
     logger.info("> backend: %s  devices: %s", jax.default_backend(),
                 jax.devices())
     t0 = time.time()
-    ds = _shape_dataset(args.ld_dir, args.block_size)
+    ds = _shape_dataset(args.ld_dir, args.block_size,
+                        quantize=args.dequantize)
     logger.info("> store shapes: M=%d NB=%d B=%d (%.1fs, metadata only)",
                 ds.m, ds.layout.nb, ds.layout.block_size, time.time() - t0)
-    warm(ds, 1, args.max_iter)
+    warm(ds, 1, args.max_iter, mesh=args.mesh)
     for S in args.grid_widths:
-        warm(ds, int(S), args.max_iter)
-        # compacted re-runs use power-of-2 widths down from S:
-        w = 1 << max(0, int(np.ceil(np.log2(max(S, 1)))) - 2)
-        while w >= 8:
-            warm(ds, w, args.max_iter)
-            w //= 4
+        # warms the full-width grid program (the dominant compile); the
+        # compacted re-run widths carry chunk state (init_elbo arrays) and
+        # compile lazily on first use:
+        warm(ds, int(S), args.max_iter, mesh=args.mesh)
     logger.info("> done in %.1fs — compiled programs are in the persistent "
                 "cache; fits on this panel now start at steady-state speed.",
                 time.time() - t0)

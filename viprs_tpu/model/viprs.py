@@ -733,6 +733,9 @@ class VIPRS(BayesPRSModel):
         # GSPMD-sharded state) lives in model/_dispatch.py and is asserted
         # exhaustively by tests/test_dispatch.py.
         sweep_impl = kwargs.pop('sweep_impl', None)
+        # compile_only (viprs_warmup): lower + compile the first chunk's
+        # exact dispatch, then return without running:
+        compile_only = kwargs.pop('compile_only', False)
         use_pallas, use_skip = _dispatch.select_sweep_impl(
             S, self.mesh, sweep_impl)
 
@@ -849,22 +852,32 @@ class VIPRS(BayesPRSModel):
                 run_pallas, run_skip = use_pallas, use_skip
 
             self._chunk_trace.append((S_run, run_pallas, run_skip))
+            call_args = (self._ld, state_in, self._std_beta_flat,
+                         self._n_flat, hyper_in, fix_in)
+            call_kw = dict(
+                n_sample=float(self.n), m_total=float(self.m),
+                init_elbo=(None if init_elbo_in is None
+                           else jnp.asarray(init_elbo_in, F64)),
+                active0=active_in,
+                max_iter=this_chunk, min_iter=min_iter,
+                f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
+                patience=patience, tile=self.tile,
+                use_pallas=run_pallas, use_skip=run_skip,
+                i0=it_done, counters0=counters_in,
+                sigma_g0=jnp.asarray(sigma_g_in, F64),
+                max_restarts=1 if ingraph_restart else 0,
+                restart_hyper=r_hyper, restart_logits=r_logits)
+            if compile_only:
+                # viprs_warmup path: build THIS dispatch's executable into
+                # the persistent cache without running it (no drift possible
+                # — same args, same mesh context as a real fit):
+                with self._mesh_context():
+                    em_loop.em_fit.lower(*call_args, **call_kw).compile()
+                if pbar is not None:
+                    pbar.close()
+                return self
             with self._mesh_context():
-                res = em_loop.em_fit(
-                    self._ld, state_in, self._std_beta_flat, self._n_flat,
-                    hyper_in, fix_in,
-                    n_sample=float(self.n), m_total=float(self.m),
-                    init_elbo=(None if init_elbo_in is None
-                               else jnp.asarray(init_elbo_in, F64)),
-                    active0=active_in,
-                    max_iter=this_chunk, min_iter=min_iter,
-                    f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
-                    patience=patience, tile=self.tile,
-                    use_pallas=run_pallas, use_skip=run_skip,
-                    i0=it_done, counters0=counters_in,
-                    sigma_g0=jnp.asarray(sigma_g_in, F64),
-                    max_restarts=1 if ingraph_restart else 0,
-                    restart_hyper=r_hyper, restart_logits=r_logits)
+                res = em_loop.em_fit(*call_args, **call_kw)
 
             if compact:
                 sel_j = jnp.asarray(sel)
