@@ -138,23 +138,24 @@ def main():
 
     assert model2.optim_result.valid_optim_result, model2.optim_result.message
 
+    # Print the headline FIRST: a wedged tunnel during a secondary workload
+    # (observed: single dispatches stalling 30-90 min) must not cost the
+    # round's metric. Exactly one JSON line goes to stdout either way.
+    print(json.dumps({
+        "metric": "genomewide_em_fit_seconds",
+        "value": round(steady, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / steady, 2),
+    }), flush=True)
+
     # ---- north-star workload: 100-point grid + BMA (BASELINE.md targets
     # < 60 s on a v5e-16; this runs on ONE chip) ----
-    # (optional sections guarded: the headline JSON line must print even if a
-    # secondary workload fails on a bad day of the shared tunnel)
     try:
         _grid_section(ds)
         _mix_section(ds)
         _mix_grid_section(ds)
     except Exception as e:  # noqa: BLE001 — report, don't lose the metric
         log(f"secondary workload failed: {type(e).__name__}: {e}")
-
-    print(json.dumps({
-        "metric": "genomewide_em_fit_seconds",
-        "value": round(steady, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / steady, 2),
-    }))
 
 
 def _grid_section(ds):
