@@ -53,10 +53,15 @@ def _shape_dataset(ld_dir, block_size, quantize=False):
     """A dataset with the store's exact packed shapes and ZERO data —
     np.zeros blocks cost no physical memory until written, and the packer
     only needs shapes. No LD data is decompressed."""
+    import os.path as osp
     from ..data import ld_store
     from ..data.dataset import SummaryStatsDataset
 
-    sizes = ld_store.native_store_block_sizes(ld_dir)
+    if osp.exists(osp.join(ld_dir, 'metadata.json')):
+        sizes = ld_store.native_store_block_sizes(ld_dir)
+    else:
+        # magenpy Zarr store (boundary metadata only, no LD data read):
+        sizes = ld_store.magenpy_zarr_block_sizes(ld_dir)
     ld_blocks, std_beta, n_per_snp = {}, {}, {}
     for c, per_block in sizes.items():
         bl = [np.zeros((m_b, m_b)) for m_b in per_block]
