@@ -207,6 +207,7 @@ class VIPRSMixGrid(VIPRSMix):
         from ._dispatch import select_sweep_impl
         sweep_impl = kwargs.pop('sweep_impl', None)
         select_sweep_impl(S * self.K, self.mesh, sweep_impl)  # validate early
+        inner_steps = kwargs.pop('inner_steps', 8)
 
         restarts = 0
         active = np.ones(S, bool)
@@ -275,6 +276,7 @@ class VIPRSMixGrid(VIPRSMix):
                     max_iter=this_chunk, min_iter=min_iter,
                     f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
                     patience=patience, tile=self.tile,
+                    inner_steps=inner_steps,
                     active0=active_in,
                     sigma_g0=jnp.asarray(sigma_g_in, jnp.float64),
                     i0=it_done, counters0=counters_in,

@@ -736,6 +736,7 @@ class VIPRS(BayesPRSModel):
         # compile_only (viprs_warmup): lower + compile the first chunk's
         # exact dispatch, then return without running:
         compile_only = kwargs.pop('compile_only', False)
+        inner_steps = kwargs.pop('inner_steps', 8)
         use_pallas, use_skip = _dispatch.select_sweep_impl(
             S, self.mesh, sweep_impl)
 
@@ -862,6 +863,7 @@ class VIPRS(BayesPRSModel):
                 max_iter=this_chunk, min_iter=min_iter,
                 f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol,
                 patience=patience, tile=self.tile,
+                inner_steps=inner_steps,
                 use_pallas=run_pallas, use_skip=run_skip,
                 i0=it_done, counters0=counters_in,
                 sigma_g0=jnp.asarray(sigma_g_in, F64),
