@@ -697,6 +697,11 @@ class VIPRS(BayesPRSModel):
             and ``continued=True`` fits), or ``'pallas'`` (batch Pallas sweep).
             The Pallas impls require a TPU backend AND no device mesh
             (sharded state stays on the XLA tile loop — model/_dispatch.py).
+        :param inner_steps: (keyword-only) tile-local refinement passes per
+            sweep (default 8; see ops/cavi_jax._block_tile_loop).
+        :param compile_only: (keyword-only) lower + compile the first
+            chunk's exact dispatch into the persistent cache and return
+            without running (the viprs_warmup path).
         """
         if not continued:
             self.initialize(theta_0, param_0)
