@@ -291,7 +291,8 @@ def test_warmup_precompiles_the_fit_program(pipeline_data, tmp_path):
         return res
 
     run_with_cache(['bin/viprs_warmup', '-l', pipeline_data['store'],
-                    '--block-size', '128', '--max-iter', '300'])
+                    '--block-size', '128', '--max-iter', '300',
+                    '--grid-widths', '4'])
     entries_after_warm = set(os.listdir(cache))
     assert entries_after_warm, "warmup produced no persistent-cache entries"
 

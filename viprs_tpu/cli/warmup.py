@@ -12,7 +12,7 @@ panel starts at steady-state speed.
 
 Usage:
     viprs_warmup -l LD_STORE_PATH [--block-size 1024] [--max-iter 1000]
-                 [--grid-widths 100 [S2 ...]] [--mixture-k K]
+                 [--grid-widths 100 [S2 ...]] [--mesh auto|off|NxM]
 """
 
 import argparse
@@ -44,8 +44,6 @@ def build_parser():
     p.add_argument('--mesh', dest='mesh', default='auto',
                    help="Device mesh spec, as for viprs_fit ('auto', 'off', "
                         "'NxM').")
-    p.add_argument('--float-precision', dest='float_precision',
-                   default='float32')
     return p
 
 

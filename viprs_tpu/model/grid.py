@@ -115,6 +115,8 @@ class VIPRSGrid(VIPRS):
             return self._fit_pathwise(**fit_kwargs)
 
         super().fit(**fit_kwargs)
+        if fit_kwargs.get('compile_only'):
+            return self    # viprs_warmup path: nothing was run
         self._populate_grid_results()
         return self
 

@@ -365,12 +365,25 @@ class VIPRSMix(BayesPRSModel):
             max_restarts=1, fused=True, **kwargs):
         """Mixture EM fit. ``fused=True`` (default) runs the whole loop on
         device (ops/mix_em_loop.py); ``fused=False`` falls back to the
-        host-stepped loop (needed for exotic per-iteration tracking)."""
+        host-stepped loop (needed for exotic per-iteration tracking).
+        Keyword-only (via kwargs): ``sweep_impl`` (None | 'xla' | 'skip' |
+        'pallas' — validated against the dispatch policy), ``inner_steps``,
+        and ``compile_only`` (lower + compile the fused dispatch into the
+        persistent cache, run nothing)."""
+        from ._dispatch import select_sweep_impl
+        sweep_impl = kwargs.pop('sweep_impl', None)
+        inner_steps = kwargs.pop('inner_steps', 8)
+        compile_only = kwargs.pop('compile_only', False)
+        select_sweep_impl(1, self.mesh, sweep_impl, min_lanes=1)  # validate
         self._refresh_inputs()
         if fused:
             return self._fit_fused(max_iter, theta_0, param_0, continued,
                                    min_iter, f_abs_tol, x_abs_tol, patience,
-                                   max_restarts)
+                                   max_restarts, sweep_impl=sweep_impl,
+                                   inner_steps=inner_steps,
+                                   compile_only=compile_only)
+        assert not compile_only, "compile_only requires the fused path"
+
         if not continued:
             self.initialize(theta_0, param_0)
 
@@ -471,7 +484,8 @@ class VIPRSMix(BayesPRSModel):
                                  jnp.float64))
 
     def _fit_fused(self, max_iter, theta_0, param_0, continued, min_iter,
-                   f_abs_tol, x_abs_tol, patience, max_restarts):
+                   f_abs_tol, x_abs_tol, patience, max_restarts,
+                   sweep_impl=None, inner_steps=8, compile_only=False):
         import jax.numpy as jnp
         from ..ops.mix_em_loop import mix_em_fit
 
@@ -482,22 +496,33 @@ class VIPRSMix(BayesPRSModel):
         # The Pallas mixture sweep (VMEM-resident per-block K-state) wins on
         # real TPU hardware; the XLA path serves CPU backends and device
         # meshes (Pallas must never see GSPMD-sharded state — _dispatch.py):
-        from ._dispatch import pallas_allowed
-        use_pallas = use_skip = pallas_allowed(self.mesh)
+        from ._dispatch import pallas_allowed, select_sweep_impl
+        if sweep_impl is None:
+            use_pallas = use_skip = pallas_allowed(self.mesh)
+        else:
+            use_pallas, use_skip = select_sweep_impl(
+                1, self.mesh, sweep_impl, min_lanes=1)
 
         restarts = 0
         while True:
             # the initial objective (history slot 0) is computed IN-GRAPH by
             # the dispatch (init_elbo=None) — no pre-dispatch ELBO sync:
+            call_args = (self._ld, self._state, self._std_beta_flat,
+                         self._n_flat, self._hyper_f32(), self._mix_fix(),
+                         jnp.asarray(self.d, jnp.float32))
+            call_kw = dict(
+                n_sample=float(self.n), m_total=float(self.m),
+                init_elbo=None, max_iter=max_iter, min_iter=min_iter,
+                f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
+                tile=self.tile, inner_steps=inner_steps,
+                use_pallas=use_pallas, use_skip=use_skip,
+                sigma_g0=float(self._sigma_g))
+            if compile_only:
+                with self._mesh_context():
+                    mix_em_fit.lower(*call_args, **call_kw).compile()
+                return self
             with self._mesh_context():
-                res = mix_em_fit(
-                    self._ld, self._state, self._std_beta_flat,
-                    self._n_flat, self._hyper_f32(), self._mix_fix(),
-                    jnp.asarray(self.d, jnp.float32),
-                    n_sample=float(self.n), m_total=float(self.m),
-                    init_elbo=None, max_iter=max_iter, min_iter=min_iter,
-                    f_abs_tol=f_abs_tol, x_abs_tol=x_abs_tol, patience=patience,
-                    tile=self.tile, use_pallas=use_pallas, use_skip=use_skip)
+                res = mix_em_fit(*call_args, **call_kw)
 
             self._state = res.state
             self._hyper = MixHyper(

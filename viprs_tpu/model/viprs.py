@@ -181,6 +181,7 @@ class VIPRS(BayesPRSModel):
         def same_buffer(a, b):
             a, b = np.asarray(a), np.asarray(b)
             return (a.dtype == b.dtype and a.shape == b.shape
+                    and a.strides == b.strides
                     and a.__array_interface__['data'][0]
                     == b.__array_interface__['data'][0])
         ds = self.dataset
@@ -765,19 +766,25 @@ class VIPRS(BayesPRSModel):
 
         # Single-dispatch fits (S=1, fresh, one chunk) fold the
         # restart-on-negative-MSE into the fused loop itself: the restart
-        # theta is PRE-drawn here (the same single np.random.uniform the
-        # host restart would make at restart time, VIPRS.py:1032; the
-        # stream only diverges from the reference when no restart ends up
-        # firing), and em_fit resets the lane in-graph — the whole fit is
-        # one dispatch + one result pull. Chunked/grid runs keep the host
-        # restart (identical trajectory either way; tests assert it).
+        # theta is PEEKED here (the same single np.random.uniform the host
+        # restart would make at restart time, VIPRS.py:1032) WITHOUT
+        # advancing the global stream — it is consumed after the fit only
+        # if the restart actually fired, so the np.random state matches the
+        # reference's draw-at-restart-time semantics in both outcomes.
+        # em_fit resets the lane in-graph — the whole fit is one dispatch +
+        # one result pull. Chunked/grid runs keep the host restart
+        # (identical trajectory either way; tests assert it).
         ingraph_restart = (S == 1 and chunk_iters >= max_iter
                            and max_restarts == 1 and not continued
                            and 'sigma_epsilon' not in self.fix_params)
         r_hyper = r_logits = None
+        rng_after_draw = None
         if ingraph_restart:
+            rng_before = np.random.get_state()
             r_pi, r_se, r_tau = self._resolve_theta0(
                 {**dict(theta_0 or {}), 'sigma_epsilon': 0.95})
+            rng_after_draw = np.random.get_state()
+            np.random.set_state(rng_before)
             r_hyper = Hyper(
                 sigma_eps=jnp.full(S, r_se, F64),
                 tau_beta=jnp.full(S, r_tau, F64),
@@ -946,6 +953,9 @@ class VIPRS(BayesPRSModel):
                                 "(reference behavior).")
                     self.fix_params['sigma_epsilon'] = 0.95
                     self._update_fix_mask()
+                    # the restart consumed the peeked draw — advance the
+                    # global stream exactly as the host restart would have:
+                    np.random.set_state(rng_after_draw)
                 self._state = res.state
                 self._hyper = Hyper(*(np.asarray(x, dtype=np.float64)
                                       for x in hyper_np))

@@ -318,8 +318,12 @@ def em_fit(ld: BlockLD,
         restarts_left = c.restarts_left
         prev_elbo_out = curr_elbo
         if max_restarts > 0:
+            # A restart on the budget's LAST iteration would exit the loop
+            # mid-reset reporting MAX_ITER + the fresh objective; the chunked
+            # host path reports MSE_NEGATIVE there — keep them aligned by
+            # only firing when iterations remain:
             fire = (c.active & (status == opt.MSE_NEGATIVE)
-                    & (restarts_left > 0) & ~c.fix_se)
+                    & (restarts_left > 0) & ~c.fix_se & (i < max_iter))
             status = jnp.where(fire, opt.RUNNING, status)
 
             def _apply_restart(ops):

@@ -84,24 +84,29 @@ def mix_em_fit(ld: BlockLD,
                tile: int = 128,
                inner_steps: int = 8,
                use_pallas: bool = False,
-               use_skip: bool = False):
+               use_skip: bool = False,
+               sigma_g0=None):
     """Fused mixture EM. ``d_mult``: (K,) prior-variance multipliers.
 
     ``init_elbo=None`` computes the initial objective in-graph from
     ``state0`` (one dispatch for the whole fit — same contract as
-    em_loop.em_fit)."""
+    em_loop.em_fit). ``sigma_g0``: warm sigma_g carry for continued fits
+    (None = 0; with a fixed sigma_epsilon the initial objective's
+    data-fit term depends on it)."""
     from .cavi_mix import mix_var_tau, mix_stats
 
     K = hyper0.pi.shape[0]
     mask = ld.mask
     d64 = d_mult.astype(F64)
+    sigma_g_init = (jnp.asarray(0.0, F64) if sigma_g0 is None
+                    else jnp.asarray(sigma_g0, F64))
 
     if init_elbo is None:
         hy0 = MixHyper(*(x.astype(F32) for x in hyper0))
         vt0 = mix_var_tau(n_per_snp, hy0)
         stats0 = mix_stats(state0, vt0, std_beta, mask)
         init_elbo = _mix_elbo(stats0, hy0, fix.sigma_eps,
-                              jnp.asarray(0.0, F64), n_sample, m_total, d64)
+                              sigma_g_init, n_sample, m_total, d64)
     else:
         init_elbo = jnp.asarray(init_elbo, F64)
 
@@ -114,7 +119,7 @@ def mix_em_fit(ld: BlockLD,
                        lambda_min=hyper0.lambda_min.astype(F64))
 
     carry = dict(state=state0, hyper=hyper64,
-                 sigma_g=jnp.asarray(0.0, F64), i=jnp.asarray(0, I32),
+                 sigma_g=sigma_g_init, i=jnp.asarray(0, I32),
                  status=jnp.asarray(opt.RUNNING, I32),
                  prev_elbo=init_elbo.astype(F64),
                  sigma_g_counter=jnp.asarray(0, I32),
