@@ -53,18 +53,19 @@ def main():
     log(f"S=1 fresh fit steady: {time.time() - t0:.3f}s "
         f"iters={m.optim_result.nit}")
 
-    # S=1 inner_steps A/B (per-iter cost vs iteration count):
-    for inner in (8, 4):
+    # S=1 (tile, inner_steps) A/B (per-iter cost vs iteration count; CPU
+    # check at 12k: tile 256 keeps the iteration count, inner=4 doubles it):
+    for tile, inner in ((128, 4), (256, 8), (512, 8)):
         np.random.seed(0)
-        m2 = VIPRS(ds)
+        m2 = VIPRS(ds, tile=tile)
         t0 = time.time()
         m2.fit(inner_steps=inner, **fit_kwargs)
         cold = time.time() - t0
         np.random.seed(0)
-        m2 = VIPRS(ds)
+        m2 = VIPRS(ds, tile=tile)
         t0 = time.time()
         m2.fit(inner_steps=inner, **fit_kwargs)
-        log(f"S=1 inner={inner}: {time.time() - t0:.3f}s "
+        log(f"S=1 tile={tile} inner={inner}: {time.time() - t0:.3f}s "
             f"(first {cold:.2f}s) iters={m2.optim_result.nit} "
             f"h2={m2.get_heritability():.4f}")
 
