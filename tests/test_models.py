@@ -242,6 +242,35 @@ class TestInGraphRestart:
                              for c in m2.chromosomes])
         assert np.array_equal(e1, e2)
 
+    def test_restart_on_final_iteration_budget(self):
+        """MSE goes negative exactly when the budget runs out: the in-graph
+        path must NOT reset mid-exit (it would report MAX_ITER + the fresh
+        objective); both paths report the negative-MSE outcome."""
+        sim = simulate_sumstats_blocks(n=1500, block_sizes=(96, 80), h2=0.3,
+                                       prop_causal=0.05, seed=0)
+        sb = {c: 3.0 * v for c, v in sim['std_beta'].items()}
+        ds = SummaryStatsDataset.from_dense_blocks(
+            sim['ld_blocks'], sb, sim['n_per_snp'], block_size=128)
+        # find the iteration where the ladder stops (the MSE-negative point):
+        np.random.seed(7)
+        probe = VIPRS(ds, mesh='off')
+        probe.fit(max_iter=60, max_restarts=0)
+        k = probe.optim_result.nit
+        assert 'MSE is negative' in probe.optim_result.message
+
+        np.random.seed(7)
+        m1 = VIPRS(ds, mesh='off')
+        m1.fit(max_iter=k)              # in-graph path, budget ends at k
+        np.random.seed(7)
+        m2 = VIPRS(ds, mesh='off')
+        m2.fit(max_iter=k, chunk_iters=max(1, k - 1))   # host path
+        assert m1.optim_result.message == m2.optim_result.message
+        assert 'MSE is negative' in m1.optim_result.message
+        h1 = [float(np.atleast_1d(v)[0]) for v in m1.history['ELBO']]
+        h2 = [float(np.atleast_1d(v)[0]) for v in m2.history['ELBO']]
+        assert len(h1) == len(h2)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
 
 class TestVIPRSMix:
 
