@@ -371,6 +371,31 @@ class TestGridUtilsHeadToHead:
                                    float(np.atleast_1d(go.sigma_epsilon)[0]),
                                    rtol=1e-4)
 
+    def test_select_best_model_pseudo_validation(self, sim, dataset):
+        """pseudo_validation criterion head-to-head: the reference's grid
+        pseudo-validates via pseudo_r2(validation_gdl, to_table())
+        (grid_utils.py:59-63 + BayesPRSModel.pseudo_validate) — the full
+        merge + LD-weighting pipeline per grid column."""
+        from viprs_tpu.gridsearch import select_best_model
+        import importlib
+        gu = importlib.import_module('viprs.model.gridsearch.grid_utils')
+
+        vg, go = self._fit_both(sim, dataset)
+        # use the SAME summary statistics as the "validation" set on both
+        # sides (an in-sample pseudo-validation — fine for parity):
+        val_gdl = ref_shim.make_ref_gdl(sim)
+        gu.select_best_model(vg, validation_gdl=val_gdl,
+                             criterion='pseudo_validation')
+        select_best_model(go, validation_gdl=dataset,
+                          criterion='pseudo_validation')
+
+        np.testing.assert_allclose(float(np.atleast_1d(vg.pi)[0]),
+                                   float(np.atleast_1d(go.pi)[0]), rtol=1e-6)
+        np.testing.assert_allclose(
+            _concat(vg.post_mean_beta).ravel(),
+            _concat(go.post_mean_beta).ravel(), rtol=0, atol=1e-5)
+
+
 
 class TestHyperparameterGridHeadToHead:
     """The reference's own HyperparameterGrid (h2-percentile sigma_eps /
