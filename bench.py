@@ -28,12 +28,17 @@ def log(*args):
 
 
 def synthesize_genome(m_target=1_100_000, n_gwas=350_000, h2=0.25,
-                      prop_causal=0.002, seed=0):
+                      prop_causal=0.002, seed=0, block_dtype=None):
     """Analytic genome-scale problem: AR(1) LD blocks + spike-slab sumstats.
 
     For each block with parameter rho: R_ij = rho^|i-j| (exact correlation
     matrix). Marginal betas: beta_hat = R beta + eps with eps an AR(1) process
     scaled by 1/sqrt(n) — i.e. eps ~ N(0, R/n) exactly.
+
+    :param block_dtype: store LD blocks in this dtype (default float64,
+        unchanged arithmetic). benchmarks/measure_capacity.py passes float32
+        so the 9.6M-variant panel fits in host RAM; the blocks are
+        int8-quantized downstream either way.
     """
     rng = np.random.default_rng(seed)
 
@@ -63,7 +68,7 @@ def synthesize_genome(m_target=1_100_000, n_gwas=350_000, h2=0.25,
             # AR(1) correlation matrix (analytic, PSD):
             from scipy.linalg import toeplitz
             R = toeplitz(rho ** np.arange(m_b))
-            blocks.append(R)
+            blocks.append(R if block_dtype is None else R.astype(block_dtype))
 
             beta = np.where(rng.random(m_b) < prop_causal,
                             rng.standard_normal(m_b) * np.sqrt(h2 / (prop_causal * total)),
