@@ -211,6 +211,85 @@ class TestLDStore:
                                    atol=1.0 / 127)
         assert tables[22]['SNP'].iloc[0] == 'rs0'
 
+    def test_int8_passthrough_matches_dequantized_path(self, tmp_path):
+        """A quantized store packs to BYTE-identical tiles whether the blocks
+        stream through as int8 (the default: load_ld_store(dequantize=False)
+        -> pack verbatim) or are inflated to float64 and re-quantized (the
+        pre-round-4 path): clip(rint((q/127)*127)) == q for integer q."""
+        from viprs_tpu.ops.block_ld import pack_dense_blocks
+        sim = simulate_sumstats_blocks(n=500, block_sizes=(60, 40), seed=3)
+        path = str(tmp_path / 'ld_store')
+        ld_store.save_ld_store(path, sim['ld_blocks'], quantize=True)
+
+        int8_blocks, _ = ld_store.load_ld_store(path, dequantize=False)
+        f64_blocks, _ = ld_store.load_ld_store(path)  # default dequantizes
+        assert int8_blocks[22][0].dtype == np.int8
+        assert f64_blocks[22][0].dtype == np.float64
+
+        ld_a, lay_a = pack_dense_blocks(int8_blocks, block_size=128,
+                                        quantize=True)
+        ld_b, lay_b = pack_dense_blocks(f64_blocks, block_size=128,
+                                        quantize=True)
+        np.testing.assert_array_equal(np.asarray(ld_a.diag),
+                                      np.asarray(ld_b.diag))
+        np.testing.assert_array_equal(np.asarray(ld_a.off_data),
+                                      np.asarray(ld_b.off_data))
+        assert ld_a.scale == ld_b.scale
+
+        # int8 blocks packed WITHOUT quantization dequantize in the tiles:
+        ld_c, _ = pack_dense_blocks(int8_blocks, block_size=128,
+                                    quantize=False)
+        np.testing.assert_allclose(
+            np.asarray(ld_c.diag),
+            np.asarray(ld_b.diag).astype(np.float32) / 127.0, atol=1e-7)
+
+        # re-saving int8 blocks writes them verbatim (no double scaling):
+        path2 = str(tmp_path / 'ld_store2')
+        ld_store.save_ld_store(path2, int8_blocks, quantize=True)
+        reload_, _ = ld_store.load_ld_store(path2, dequantize=False)
+        np.testing.assert_array_equal(reload_[22][0], int8_blocks[22][0])
+
+    def test_loader_materializes_int8_from_quantized_store(self, tmp_path):
+        """Store-backed loaders keep the genome at 1 byte/element host-side
+        (an 18M-variant panel would be ~125 GB as float64)."""
+        sim = simulate_sumstats_blocks(n=500, block_sizes=(60, 40), seed=4)
+        snp_tables = {22: pd.DataFrame({
+            'CHR': 22, 'SNP': [f'rs{i}' for i in range(sim['m'])],
+            'POS': np.arange(sim['m']), 'A1': 'A', 'A2': 'G'})}
+        path = str(tmp_path / 'ld_store')
+        ld_store.save_ld_store(path, sim['ld_blocks'], snp_tables,
+                               quantize=True)
+        loader = GWADataLoader(ld_store_files=path, block_size=128)
+        blocks = loader.ld_blocks
+        assert all(b.dtype == np.int8 for b in blocks[22])
+
+    def test_banded_to_blocks_keep_quantized(self):
+        """int8 banded input -> int8 dense blocks == 127 * the float64 path."""
+        sim = simulate_sumstats_blocks(n=400, block_sizes=(30, 20), seed=5)
+        # build a banded int8 representation of the two blocks:
+        rows, indptr, left = [], [0], []
+        q_blocks = [np.clip(np.rint(b * 127.0), -127, 127).astype(np.int8)
+                    for b in sim['ld_blocks'][22]]
+        off = 0
+        for qb in q_blocks:
+            m_b = qb.shape[0]
+            for j in range(m_b):
+                rows.append(qb[j])
+                indptr.append(indptr[-1] + m_b)
+                left.append(off)
+            off += m_b
+        data = np.concatenate(rows)
+        blocks_i8 = ld_store.banded_to_blocks(data, np.asarray(indptr),
+                                              np.asarray(left),
+                                              keep_quantized=True)
+        blocks_f64 = ld_store.banded_to_blocks(data, np.asarray(indptr),
+                                               np.asarray(left))
+        assert len(blocks_i8) == len(q_blocks)
+        for bi, bf in zip(blocks_i8, blocks_f64):
+            assert bi.dtype == np.int8
+            np.testing.assert_allclose(bi.astype(np.float64) / 127.0, bf,
+                                       atol=1e-12)
+
 
 class TestLoader:
 

@@ -117,6 +117,21 @@ class TestComputeQ:
         expected = (R - np.eye(Mp)) @ eta
         np.testing.assert_allclose(np.asarray(q).ravel(), expected, atol=1e-4)
 
+    @pytest.mark.parametrize("quantize", [False, True])
+    def test_scanned_matches_dense_path(self, quantize):
+        """The block-scanned variant (capacity-scale tiles, one (B, B) f32
+        temp at a time) computes the same q as the dense einsum."""
+        blocks = [_rand_ld_block(m) for m in (100, 200, 90)]
+        ld, layout = pack_dense_blocks({1: blocks}, block_size=128,
+                                       quantize=quantize)
+        S = 3
+        eta = (RNG.standard_normal((S, layout.nb, 128)).astype(np.float32)
+               * np.asarray(ld.mask)[None])
+        q_dense = compute_q(ld, jnp.asarray(eta), chunked=False)
+        q_scan = compute_q(ld, jnp.asarray(eta), chunked=True)
+        np.testing.assert_allclose(np.asarray(q_scan), np.asarray(q_dense),
+                                   atol=1e-5)
+
 
 # ---------------------------------------------------------------------------
 # Sweep parity vs NumPy tile schedule

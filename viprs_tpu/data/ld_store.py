@@ -25,17 +25,24 @@ _SNP_COLS = ['CHR', 'SNP', 'POS', 'A1', 'A2']
 
 
 def save_ld_store(path, chrom_blocks, snp_tables=None, quantize=True):
-    """Write per-chromosome LD blocks (+ variant tables) to ``path``."""
+    """Write per-chromosome LD blocks (+ variant tables) to ``path``.
+
+    Blocks may be float (correlations in [-1, 1]) or already-quantized int8
+    (scale 1/127, e.g. from a store-backed loader's ``ld_blocks``) — int8
+    input is written verbatim when ``quantize=True``."""
     os.makedirs(path, exist_ok=True)
     meta = {'quantized': bool(quantize), 'chromosomes': []}
     for c, blocks in chrom_blocks.items():
         arrays = {}
         for i, blk in enumerate(blocks):
+            blk = np.asarray(blk)
             if quantize:
-                arrays[f'block_{i:05d}'] = np.clip(
-                    np.rint(np.asarray(blk) * 127.0), -127, 127).astype(np.int8)
+                arrays[f'block_{i:05d}'] = blk if blk.dtype == np.int8 else \
+                    np.clip(np.rint(blk * 127.0), -127, 127).astype(np.int8)
+            elif blk.dtype == np.int8:
+                arrays[f'block_{i:05d}'] = blk.astype(np.float32) / 127.0
             else:
-                arrays[f'block_{i:05d}'] = np.asarray(blk, dtype=np.float32)
+                arrays[f'block_{i:05d}'] = blk.astype(np.float32)
         np.savez_compressed(osp.join(path, f'chr_{c}.npz'), **arrays)
         if snp_tables is not None and c in snp_tables:
             snp_tables[c].to_csv(osp.join(path, f'chr_{c}.snps.csv'), index=False)
@@ -53,14 +60,19 @@ def _parse_chrom(name):
         return c
 
 
-def load_ld_store(path, chromosomes=None, tables_only=False):
+def load_ld_store(path, chromosomes=None, tables_only=False, dequantize=True):
     """Load a native LD store.
 
     :param tables_only: read only the per-chromosome variant tables (cheap);
         ``chrom_blocks`` comes back as None. Used by the lazy ingestion path —
         harmonization needs tables only, and a pack-cache hit never touches
         the LD data at all.
-    :returns: (chrom_blocks {c: [float64 blocks]} or None,
+    :param dequantize: inflate int8 store blocks to float64 (/127). The
+        fitting path passes False: packing consumes int8 verbatim (same 1/127
+        scale), so an 18M-variant store streams through host RAM at 1 byte
+        per element instead of 8.
+    :returns: (chrom_blocks {c: [float64 blocks]} or None — int8 blocks when
+               ``dequantize=False`` and the store is quantized,
                snp_tables {c: DataFrame} or None)
     """
     files = [f for f in os.listdir(path) if f.startswith('chr_') and f.endswith('.npz')]
@@ -77,8 +89,11 @@ def load_ld_store(path, chromosomes=None, tables_only=False):
             for key in sorted(npz.files):
                 blk = npz[key]
                 if blk.dtype == np.int8:
-                    blk = blk.astype(np.float64) / 127.0
-                blocks.append(np.asarray(blk, dtype=np.float64))
+                    if dequantize:
+                        blk = blk.astype(np.float64) / 127.0
+                else:
+                    blk = np.asarray(blk, dtype=np.float64)
+                blocks.append(blk)
             chrom_blocks[c] = blocks
         snp_path = osp.join(path, f.replace('.npz', '.snps.csv'))
         if osp.exists(snp_path):
@@ -152,7 +167,8 @@ def _band_cut_points_from_edges(left, right_excl, m):
     return sorted(set(cuts))
 
 
-def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
+def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000,
+                     keep_quantized=False):
     """Cut a banded symmetric LD matrix into exact dense diagonal blocks at
     points where no stored entry crosses the boundary (LDetect-style block
     stores pinch off at every block edge, so this is lossless for them).
@@ -162,10 +178,16 @@ def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
     :param max_dense_block: guard — a segment wider than this (a windowed
         estimator's band never pinches off) raises instead of materializing a
         huge dense block.
-    :returns: list of dense float64 (m_i, m_i) blocks.
+    :param keep_quantized: with int8 input (a quantized magenpy Zarr store,
+        scale 1/127), emit int8 blocks instead of inflating to float64 —
+        packing consumes them verbatim, so an 18M-variant UKB store streams
+        through host RAM at 1 byte per element.
+    :returns: list of dense (m_i, m_i) blocks — float64, or int8 when
+        ``keep_quantized`` applies.
     """
     data = np.asarray(data)
-    if data.dtype == np.int8:
+    int8_out = keep_quantized and data.dtype == np.int8
+    if data.dtype == np.int8 and not int8_out:
         data = data.astype(np.float64) / 127.0
     indptr = np.asarray(indptr)
     left = np.asarray(left_bound)
@@ -201,10 +223,18 @@ def banded_to_blocks(data, indptr, left_bound, max_dense_block=20000):
         c = cols_all[seg] - lo
         v = data[seg]
         sel = (c >= r) & (c < width)   # upper triangle; symmetry fills the rest
-        blk = np.zeros((width, width))
-        blk[r[sel], c[sel]] = v[sel]
-        blk = blk + blk.T - np.diag(np.diag(blk))
-        np.fill_diagonal(blk, 1.0)
+        if int8_out:
+            # assignment-based symmetrization (blk + blk.T would overflow
+            # int8); the diagonal is exactly 127 (= 1.0 at scale 1/127):
+            blk = np.zeros((width, width), dtype=np.int8)
+            blk[r[sel], c[sel]] = v[sel]
+            blk[c[sel], r[sel]] = v[sel]
+            np.fill_diagonal(blk, 127)
+        else:
+            blk = np.zeros((width, width))
+            blk[r[sel], c[sel]] = v[sel]
+            blk = blk + blk.T - np.diag(np.diag(blk))
+            np.fill_diagonal(blk, 1.0)
         blocks.append(blk)
     return blocks
 

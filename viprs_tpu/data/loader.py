@@ -60,7 +60,9 @@ class GWADataLoader:
     """
     :ivar genotype: GenotypeMatrix or None.
     :ivar sumstats_table: {chrom: SumstatsTable} after harmonization.
-    :ivar ld_blocks: {chrom: [dense LD blocks]} (host-side, pre-packing).
+    :ivar ld_blocks: {chrom: [dense LD blocks]} (host-side, pre-packing;
+        int8 at scale 1/127 when materialized from a quantized store —
+        packing and save_ld_store consume that verbatim).
     :ivar ld_snp_tables: {chrom: DataFrame} variant tables aligned with ld_blocks.
     :ivar phenotype_likelihood: 'gaussian' | 'binomial'.
     """
@@ -248,13 +250,19 @@ class GWADataLoader:
     # ------------------------------------------------------ lazy LD plumbing
     @staticmethod
     def _load_source_blocks(kind, store, chromosomes=None):
-        """Read the LD blocks of one recorded store source."""
+        """Read the LD blocks of one recorded store source.
+
+        Quantized stores come back as int8 blocks (scale 1/127) — packing
+        consumes them verbatim (ops/block_ld.py), so the genome is never
+        inflated to float64 in host RAM (8x the bytes at 18M variants)."""
         if kind == 'native':
             blocks, _ = ld_store_mod.load_ld_store(store,
-                                                   chromosomes=chromosomes)
+                                                   chromosomes=chromosomes,
+                                                   dequantize=False)
             return blocks
         banded, _ = ld_store_mod.load_magenpy_zarr(store)
-        return {c: ld_store_mod.banded_to_blocks(data, indptr, left)
+        return {c: ld_store_mod.banded_to_blocks(data, indptr, left,
+                                                 keep_quantized=True)
                 for c, (data, indptr, left) in banded.items()
                 if chromosomes is None or c in chromosomes}
 

@@ -118,7 +118,7 @@ def save_packed(key, ld, layout, root=None):
 
 def load_packed(key, root=None):
     """Load a packed (BlockLD, BlockLayout) by key; None on miss."""
-    from ..ops.block_ld import BlockLD, BlockLayout
+    from ..ops.block_ld import BlockLD, BlockLayout, _place_diag
     import jax.numpy as jnp
 
     root = root if root is not None else cache_root()
@@ -131,7 +131,7 @@ def load_packed(key, root=None):
         with open(osp.join(d, 'layout.json')) as f:
             meta = json.load(f)
         ld = BlockLD(
-            diag=jnp.asarray(np.load(osp.join(d, 'diag.npy'), mmap_mode='r')),
+            diag=_place_diag(np.load(osp.join(d, 'diag.npy'), mmap_mode='r')),
             off_data=jnp.asarray(np.load(osp.join(d, 'off_data.npy'),
                                          mmap_mode='r')),
             off_src=jnp.asarray(np.load(osp.join(d, 'off_src.npy'))),

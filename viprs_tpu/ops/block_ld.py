@@ -80,6 +80,38 @@ class BlockLD:
                        off_dst=self.off_dst, mask=self.mask, scale=1.0)
 
 
+#: Above this size, the diagonal tiles are placed on a TPU device in the
+#: fused EM loop's PREFERRED layout (major_to_minor (1, 2, 0), discovered
+#: via AUTO-layout compilation) instead of the row-major default. With the
+#: default layout XLA materializes a full layout-change copy of the tiles
+#: inside the program ("copy(ld_diag)" HLO temp) — a harmless ~1.2 GB at
+#: 1.1M variants, but a 9.5 GB duplicate that OOMs one 16 GB chip on the
+#: 9.6M-variant panel. Small tiles keep the default layout: the Pallas
+#: grid/mixture kernels want row-major operands, and their programs carry
+#: no copy at all. Override (GB) via VIPRS_LD_LAYOUT_THRESHOLD_GB.
+LD_LAYOUT_THRESHOLD_BYTES = float(
+    __import__('os').environ.get('VIPRS_LD_LAYOUT_THRESHOLD_GB', 4.0)) * 1e9
+
+#: The fused S=1 EM program's preferred diag layout on TPU (see above).
+XLA_DIAG_LAYOUT = (1, 2, 0)
+
+
+def _place_diag(diag):
+    """Upload diagonal tiles, choosing the device layout by size (above)."""
+    try:
+        import jax
+        if (diag.ndim == 3 and diag.nbytes > LD_LAYOUT_THRESHOLD_BYTES
+                and jax.default_backend() in ('tpu', 'axon')):
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+            fmt = Format(Layout(major_to_minor=XLA_DIAG_LAYOUT),
+                         SingleDeviceSharding(jax.devices()[0]))
+            return jax.device_put(diag, fmt)
+    except Exception:  # pragma: no cover — layout API unavailable
+        pass
+    return jnp.asarray(diag)
+
+
 def make_block_ld(diag, off_tiles, mask, scale):
     """Assemble a BlockLD from a {(src, dst): (B, B) array} coupling dict."""
     items = sorted(off_tiles.items())
@@ -92,7 +124,7 @@ def make_block_ld(diag, off_tiles, mask, scale):
         off_data = np.zeros((0, B, B), dtype=diag.dtype)
         off_src = np.zeros(0, np.int32)
         off_dst = np.zeros(0, np.int32)
-    return BlockLD(diag=jnp.asarray(diag), off_data=jnp.asarray(off_data),
+    return BlockLD(diag=_place_diag(diag), off_data=jnp.asarray(off_data),
                    off_src=jnp.asarray(off_src), off_dst=jnp.asarray(off_dst),
                    mask=jnp.asarray(mask), scale=scale)
 
@@ -293,7 +325,16 @@ def pack_dense_blocks(chrom_blocks: dict,
     for tile_start, o, c, bi, m_i in placements:
         blk = chrom_blocks[c][bi]
         assert blk.shape == (m_i, m_i)
-        vals = quantize_int8(blk) if quantize else blk.astype(dtype)
+        # int8 input (an already-quantized store, scale 1/127) passes through
+        # verbatim when quantizing — byte-identical to dequantize+requantize
+        # (clip(rint((q/127)*127)) == q for integer q) without inflating the
+        # genome to float64 in host RAM (load_ld_store(dequantize=False)):
+        input_is_int8 = blk.dtype == np.int8
+        if quantize:
+            vals = blk if input_is_int8 else quantize_int8(blk)
+        else:
+            vals = blk.astype(dtype) * np.asarray(INT8_SCALE, dtype) \
+                if input_is_int8 else blk.astype(dtype)
         if o > 0 or m_i <= B - o:
             diag[tile_start, o:o + m_i, o:o + m_i] = vals
             continue

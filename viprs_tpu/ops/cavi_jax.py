@@ -105,11 +105,8 @@ def _off_contrib(ld: BlockLD, v):
     return out
 
 
-def compute_q(ld: BlockLD, eta):
-    """q = (R - I) @ eta, fresh from scratch (used at warm starts / validation).
-
-    eta: (S, NB, B) -> q: (S, NB, B).
-    """
+@jax.jit
+def _compute_q_dense(ld: BlockLD, eta):
     diag_f = ld.diag.astype(F32)
     q = jnp.einsum('bij,sbj->sbi', diag_f, eta, preferred_element_type=F32)
     if ld.scale != 1.0:
@@ -118,6 +115,43 @@ def compute_q(ld: BlockLD, eta):
     if ld.n_off > 0:
         q = q + _off_contrib(ld, eta)
     return q
+
+
+@jax.jit
+def _compute_q_scanned(ld: BlockLD, eta):
+    # One block at a time: the f32 view of the int8 tiles (4 bytes/element)
+    # and any layout-change copy exist only per (B, B) slice — at the
+    # 9.6M/18M panel scales a dense einsum's operand copy alone exceeds HBM.
+    eta_t = jnp.moveaxis(eta, 1, 0)                   # (NB, S, B)
+
+    def body(_, xs):
+        D_b, e_b = xs                                  # (B, B), (S, B)
+        q_b = jnp.einsum('ij,sj->si', D_b.astype(F32), e_b,
+                         preferred_element_type=F32)
+        if ld.scale != 1.0:
+            q_b = q_b * F32(ld.scale)
+        return None, q_b
+
+    _, q_t = lax.scan(body, None, (ld.diag, eta_t))
+    q = jnp.moveaxis(q_t, 0, 1) - eta
+    if ld.n_off > 0:
+        q = q + _off_contrib(ld, eta)
+    return q
+
+
+def compute_q(ld: BlockLD, eta, chunked=None):
+    """q = (R - I) @ eta, fresh from scratch (used at warm starts / validation).
+
+    eta: (S, NB, B) -> q: (S, NB, B). Jitted, so the int8->f32 dequantization
+    fuses into the matmul tiles instead of materializing a full f32 copy of
+    the LD (the eager path did — 4x the LD bytes in HBM, 39 GB at 9.6M
+    variants). ``chunked`` (default: tiles above the relayout threshold)
+    streams block-by-block so peak temp memory is one (B, B) tile.
+    """
+    if chunked is None:
+        from .block_ld import LD_LAYOUT_THRESHOLD_BYTES
+        chunked = ld.diag.nbytes > LD_LAYOUT_THRESHOLD_BYTES
+    return (_compute_q_scanned if chunked else _compute_q_dense)(ld, eta)
 
 
 def refresh_q(ld: BlockLD, q, eta_diff):
