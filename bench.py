@@ -214,7 +214,7 @@ def _mix_grid_section(ds):
         steady = time.time() - t0
         conv2 = int(np.sum([r.success for r in g2.optim_results]))
         log(f"VIPRSMixGrid(20 x K=3) steady-state: {steady:.2f}s; "
-            f"converged={conv2}/20 (round-2 fallback: 20 serial fits)")
+            f"converged={conv2}/20 (one simultaneous batched fit)")
 
 
 def _mix_section(ds):
