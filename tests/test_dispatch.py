@@ -15,7 +15,7 @@ import jax
 from jax.sharding import Mesh
 
 from viprs_tpu.model._dispatch import (
-    select_sweep_impl, pallas_allowed, MIN_PALLAS_LANES)
+    select_sweep_impl, pallas_allowed, MIN_PALLAS_LANES, S1_HYBRID_DEFAULT)
 
 
 @pytest.fixture(scope='module')
@@ -43,25 +43,37 @@ class TestDefaultPolicy:
     @pytest.mark.parametrize('backend', BACKENDS_TPU)
     @pytest.mark.parametrize('S', [8, 16, 100])
     def test_wide_grid_on_tpu_no_mesh_uses_pallas(self, backend, S):
-        assert select_sweep_impl(S, None, None, backend) == (True, False)
+        assert select_sweep_impl(S, None, None, backend) == \
+            (True, False, False)
 
     @pytest.mark.parametrize('backend', BACKENDS_TPU)
-    @pytest.mark.parametrize('S', [1, 2, 4, 7])
+    @pytest.mark.parametrize('S', [2, 4, 7])
     def test_narrow_on_tpu_uses_xla(self, backend, S):
-        assert select_sweep_impl(S, None, None, backend) == (False, False)
+        assert select_sweep_impl(S, None, None, backend) == \
+            (False, False, False)
+
+    @pytest.mark.parametrize('backend', BACKENDS_TPU)
+    def test_s1_on_tpu_uses_hybrid(self, backend):
+        # round-5 measured policy: the single-model fit runs the
+        # activity-gated hybrid dispatch on a meshless TPU backend.
+        assert S1_HYBRID_DEFAULT
+        assert select_sweep_impl(1, None, None, backend) == \
+            (False, False, True)
 
     @pytest.mark.parametrize('backend', BACKENDS_TPU)
     @pytest.mark.parametrize('S', [1, 4, 8, 100])
     def test_any_width_under_mesh_uses_xla(self, backend, S):
         """The round-3 hole: S>=8 on TPU under a mesh MUST NOT pick Pallas."""
-        assert select_sweep_impl(S, _mesh(), None, backend) == (False, False)
+        assert select_sweep_impl(S, _mesh(), None, backend) == \
+            (False, False, False)
 
     @pytest.mark.parametrize('backend', BACKENDS_OFF)
     @pytest.mark.parametrize('S', [1, 8, 100])
     @pytest.mark.parametrize('mesh', [None, 'mesh'])
     def test_off_tpu_always_xla(self, backend, S, mesh):
         m = _mesh() if mesh else None
-        assert select_sweep_impl(S, m, None, backend) == (False, False)
+        assert select_sweep_impl(S, m, None, backend) == \
+            (False, False, False)
 
     @pytest.mark.parametrize('backend', BACKENDS_TPU)
     def test_min_lanes_1_single_model_pallas(self, backend):
@@ -71,7 +83,7 @@ class TestDefaultPolicy:
 
     def test_min_lanes_parameter(self):
         assert select_sweep_impl(1, None, None, 'tpu', min_lanes=1) == \
-            (True, False)
+            (True, False, False)
         assert MIN_PALLAS_LANES == 8
 
 
@@ -82,12 +94,33 @@ class TestExplicitOverride:
     @pytest.mark.parametrize('mesh', [None, 'mesh'])
     def test_xla_always_allowed(self, backend, mesh):
         m = _mesh() if mesh else None
-        assert select_sweep_impl(100, m, 'xla', backend) == (False, False)
+        assert select_sweep_impl(100, m, 'xla', backend) == \
+            (False, False, False)
 
     @pytest.mark.parametrize('backend', BACKENDS_TPU)
     def test_pallas_on_tpu_no_mesh(self, backend):
-        assert select_sweep_impl(1, None, 'pallas', backend) == (True, False)
-        assert select_sweep_impl(1, None, 'skip', backend) == (False, True)
+        assert select_sweep_impl(1, None, 'pallas', backend) == \
+            (True, False, False)
+        assert select_sweep_impl(1, None, 'skip', backend) == \
+            (False, True, False)
+        assert select_sweep_impl(1, None, 'hybrid', backend) == \
+            (False, False, True)
+
+    @pytest.mark.parametrize('backend', BACKENDS_TPU)
+    @pytest.mark.parametrize('S', [2, 8, 100])
+    def test_hybrid_requires_s1(self, backend, S):
+        with pytest.raises(ValueError, match='S == 1'):
+            select_sweep_impl(S, None, 'hybrid', backend)
+
+    @pytest.mark.parametrize('backend', BACKENDS_OFF)
+    def test_hybrid_off_tpu_raises(self, backend):
+        with pytest.raises(ValueError, match='TPU'):
+            select_sweep_impl(1, None, 'hybrid', backend)
+
+    @pytest.mark.parametrize('backend', BACKENDS_TPU)
+    def test_hybrid_under_mesh_raises(self, backend):
+        with pytest.raises(ValueError, match='mesh'):
+            select_sweep_impl(1, _mesh(), 'hybrid', backend)
 
     @pytest.mark.parametrize('impl', ['pallas', 'skip'])
     @pytest.mark.parametrize('backend', BACKENDS_OFF)

@@ -123,8 +123,10 @@ class GWADataLoader:
                         self._ld_source_chroms.append(set(tables))
                     else:
                         # store without variant tables: nothing to harmonize
-                        # against lazily; load the blocks now.
-                        blocks, _ = ld_store_mod.load_ld_store(store)
+                        # against lazily; load the blocks now (int8 stays
+                        # int8 — same pass-through as _load_source_blocks):
+                        blocks, _ = ld_store_mod.load_ld_store(
+                            store, dequantize=False)
                         eager_blocks.update(blocks)
                 else:
                     # magenpy Zarr store (the published UKB panels' format):
@@ -136,8 +138,11 @@ class GWADataLoader:
                     else:
                         banded, _ = ld_store_mod.load_magenpy_zarr(store)
                         for c, (data, indptr, left) in banded.items():
+                            # keep_quantized: a quantized store must not be
+                            # inflated 8x to float64 here either (same fix as
+                            # _load_source_blocks' lazy path):
                             eager_blocks[c] = ld_store_mod.banded_to_blocks(
-                                data, indptr, left)
+                                data, indptr, left, keep_quantized=True)
             if eager_blocks and self._ld_sources:
                 # mixed table-less + tabled stores: fall back to fully eager
                 # (the lazy/cache path assumes every block is re-derivable

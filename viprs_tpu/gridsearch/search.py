@@ -74,17 +74,22 @@ def bayesian_model_average(viprs_grid_model, normalization='softmax'):
 
     elbos = np.asarray(viprs_grid_model.elbo(), dtype=np.float64)
 
+    # Normalize over the KEPT models only: softmax over the full vector
+    # followed by renormalization is mathematically identical, but underflows
+    # to 0/0 when an *invalid* model's ELBO dominates the max by >~700 nats
+    # (negative-MSE lanes can report much higher ELBOs than the converged
+    # ones — seen in the multi-host grid scenario).
     if normalization == 'softmax':
         from scipy.special import softmax
-        weights = softmax(elbos)
+        weights_keep = softmax(elbos[keep])
     elif normalization == 'sum':
-        weights = elbos - elbos.min() + 1.
-        weights /= weights.sum()
+        weights_keep = elbos[keep] - elbos[keep].min() + 1.
+        weights_keep /= weights_keep.sum()
     else:
         raise KeyError("Normalization scheme not recognized. "
                        "Valid options are: `softmax`, `sum`. Got: {}".format(normalization))
 
-    logger.info("Averaging PRS models with weights: %s", weights)
+    logger.info("Averaging PRS models with weights: %s", weights_keep)
 
     import jax
     import jax.numpy as jnp
@@ -92,8 +97,8 @@ def bayesian_model_average(viprs_grid_model, normalization='softmax'):
     from ..ops import updates
 
     st = viprs_grid_model._state
-    w_full = np.zeros(len(weights))
-    w_full[keep] = weights[keep] / weights[keep].sum()
+    w_full = np.zeros(len(elbos))
+    w_full[keep] = weights_keep
 
     # Device-side averaging + unconstrained M-step (grid_utils.py:163-184) —
     # only the collapsed S=1 state and four scalars leave the device.

@@ -31,6 +31,25 @@ TPU_BACKENDS = ('tpu', 'axon')
 #: grids).
 MIN_PALLAS_LANES = 8
 
+#: Whether the measured default policy routes single-model (S==1) fits on a
+#: meshless TPU backend into the HYBRID activity-gated dispatch: each EM
+#: iteration picks, in-graph, between the all-active XLA tile loop and the
+#: block-skipping Pallas sweep based on the live per-block proposal-mask
+#: population count (ops/em_loop.py). The block-activity profile of a real
+#: fit collapses to a few percent after the early iterations (DESIGN.md
+#: §2b), where the skip kernel streams an order of magnitude less HBM —
+#: while the early all-active iterations keep the cheaper XLA loop.
+#: Measured fit-level A/B in BENCH.md (round 5).
+S1_HYBRID_DEFAULT = True
+
+#: In-graph activity threshold for the hybrid dispatch, as a fraction of
+#: total LD blocks: iterations whose active-block count is at or below
+#: ``HYBRID_FRAC * NB`` run the skip kernel. The measured crossover
+#: (BENCH.md roofline: skip cost ~ 0.4 ms + 11.8 ms * frac vs the XLA
+#: loop's flat ~6.2 ms at inner_steps=8) sits near 0.5; the default stays
+#: below it so the gather-DMA path only runs where it wins clearly.
+HYBRID_FRAC = 0.35
+
 
 def pallas_allowed(mesh, backend=None):
     """True iff Pallas kernels may be dispatched at all: a TPU backend and no
@@ -49,19 +68,21 @@ def select_sweep_impl(S, mesh, sweep_impl=None, backend=None,
         Pallas variants have no lane threshold — pass ``min_lanes=1``).
     :param mesh: the model's ``jax.sharding.Mesh`` or None.
     :param sweep_impl: optional explicit override: None (measured policy),
-        ``'xla'``, ``'skip'`` or ``'pallas'``. Requesting a Pallas impl off
-        TPU or under a mesh is an error, not a silent fallback.
+        ``'xla'``, ``'skip'``, ``'pallas'`` or ``'hybrid'``. Requesting a
+        Pallas impl off TPU or under a mesh is an error, not a silent
+        fallback; ``'hybrid'`` additionally requires ``S == 1`` (the
+        activity-gated dispatch exists for the single-model fused loop).
     :param backend: JAX backend name; defaults to ``jax.default_backend()``.
     :param min_lanes: lane threshold for the default policy.
-    :returns: ``(use_pallas, use_skip)``.
+    :returns: ``(use_pallas, use_skip, use_hybrid)``.
     """
     if backend is None:
         backend = jax.default_backend()
-    if sweep_impl not in (None, 'xla', 'skip', 'pallas'):
+    if sweep_impl not in (None, 'xla', 'skip', 'pallas', 'hybrid'):
         raise ValueError(
-            f"sweep_impl must be one of None, 'xla', 'skip', 'pallas'; "
-            f"got {sweep_impl!r}")
-    if sweep_impl in ('skip', 'pallas'):
+            f"sweep_impl must be one of None, 'xla', 'skip', 'pallas', "
+            f"'hybrid'; got {sweep_impl!r}")
+    if sweep_impl in ('skip', 'pallas', 'hybrid'):
         if backend not in TPU_BACKENDS:
             raise ValueError(
                 f"sweep_impl={sweep_impl!r} requests a Pallas TPU kernel, "
@@ -73,8 +94,20 @@ def select_sweep_impl(S, mesh, sweep_impl=None, backend=None,
                 f"the model has a device mesh {tuple(mesh.shape.items())}; "
                 f"Pallas kernels cannot consume GSPMD-sharded state — use "
                 f"sweep_impl='xla' (or None) under a mesh.")
-        return (sweep_impl == 'pallas', sweep_impl == 'skip')
+        if sweep_impl == 'hybrid' and S != 1:
+            raise ValueError(
+                f"sweep_impl='hybrid' is the single-model (S == 1) "
+                f"activity-gated dispatch; got S={S}. Wide grids use the "
+                f"batch Pallas kernel ('pallas') or the union-gated skip "
+                f"kernel ('skip').")
+        return (sweep_impl == 'pallas', sweep_impl == 'skip',
+                sweep_impl == 'hybrid')
     if sweep_impl == 'xla':
-        return (False, False)
+        return (False, False, False)
     # measured default policy:
-    return (pallas_allowed(mesh, backend) and S >= min_lanes, False)
+    if pallas_allowed(mesh, backend):
+        if S >= min_lanes:
+            return (True, False, False)
+        if S == 1 and S1_HYBRID_DEFAULT and min_lanes > 1:
+            return (False, False, True)
+    return (False, False, False)

@@ -374,6 +374,11 @@ class VIPRSMix(BayesPRSModel):
         sweep_impl = kwargs.pop('sweep_impl', None)
         inner_steps = kwargs.pop('inner_steps', 8)
         compile_only = kwargs.pop('compile_only', False)
+        if sweep_impl == 'hybrid':
+            raise ValueError(
+                "sweep_impl='hybrid' is the single-model VIPRS dispatch; the "
+                "mixture fused path uses its own skip kernel (sweep_impl="
+                "'skip'), which is the measured default on TPU.")
         select_sweep_impl(1, self.mesh, sweep_impl, min_lanes=1)  # validate
         self._refresh_inputs()
         if fused:
@@ -500,7 +505,7 @@ class VIPRSMix(BayesPRSModel):
         if sweep_impl is None:
             use_pallas = use_skip = pallas_allowed(self.mesh)
         else:
-            use_pallas, use_skip = select_sweep_impl(
+            use_pallas, use_skip, _ = select_sweep_impl(
                 1, self.mesh, sweep_impl, min_lanes=1)
 
         restarts = 0

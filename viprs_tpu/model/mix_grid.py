@@ -206,6 +206,11 @@ class VIPRSMixGrid(VIPRSMix):
         # still proposes an update — wins once most lanes have converged).
         from ._dispatch import select_sweep_impl
         sweep_impl = kwargs.pop('sweep_impl', None)
+        if sweep_impl == 'hybrid':
+            raise ValueError(
+                "sweep_impl='hybrid' is the single-model VIPRS dispatch; "
+                "mixture grids use the batched Pallas kernel ('pallas') or "
+                "the union-gated skip kernel ('skip').")
         select_sweep_impl(S * self.K, self.mesh, sweep_impl)  # validate early
         inner_steps = kwargs.pop('inner_steps', 8)
 
@@ -283,7 +288,7 @@ class VIPRSMixGrid(VIPRSMix):
                     init_elbo=init_elbo_in,
                     **dict(zip(('use_pallas', 'use_skip'),
                                select_sweep_impl(S_run * self.K, self.mesh,
-                                                 sweep_impl))))
+                                                 sweep_impl)[:2])))
 
             (hyper_np, sg_np, status_np, nit_np, n_total_np, fe_np,
              hist_dev) = jax.device_get(

@@ -589,7 +589,8 @@ class VIPRS(BayesPRSModel):
         One fused device computation and one host transfer for all three
         moments (separate eager property reads each pay the full accelerator
         round-trip latency on remote transports)."""
-        g, eta, var = jax.device_get(_posterior_moments_jit(
+        from ..parallel.distributed import fetch
+        g, eta, var = fetch(_posterior_moments_jit(
             self._state, self._n_flat, self._hyper_f32()))
         self.pip = self._dict_view(g)
         self.post_mean_beta = self._dict_view(eta)
@@ -743,7 +744,7 @@ class VIPRS(BayesPRSModel):
         # exact dispatch, then return without running:
         compile_only = kwargs.pop('compile_only', False)
         inner_steps = kwargs.pop('inner_steps', 8)
-        use_pallas, use_skip = _dispatch.select_sweep_impl(
+        use_pallas, use_skip, use_hybrid = _dispatch.select_sweep_impl(
             S, self.mesh, sweep_impl)
 
         # The initial objective (reference VIPRS.py:942) is computed IN-GRAPH
@@ -802,10 +803,13 @@ class VIPRS(BayesPRSModel):
         nit_acc = np.zeros(S, dtype=np.int32)
         med_acc = np.zeros(S, dtype=np.float64)
         S_run = S   # width of the lane set currently being optimized
-        # per-chunk (width, use_pallas, use_skip) trace — lets tests and the
-        # multi-chip dryrun assert that compaction and the kernel-dispatch
-        # policy actually executed (VERDICT r3 weak #7):
+        # per-chunk (width, use_pallas, use_skip, use_hybrid) trace — lets
+        # tests and the multi-chip dryrun assert that compaction and the
+        # kernel-dispatch policy actually executed (VERDICT r3 weak #7):
         self._chunk_trace = []
+        # per-iteration active-block counts (skip/hybrid dispatches only;
+        # BENCH.md's activity-vs-iteration trace comes from here):
+        self._act_trace = []
 
         while it_done < max_iter:
             this_chunk = min(chunk_iters, max_iter - it_done)
@@ -853,18 +857,23 @@ class VIPRS(BayesPRSModel):
                 sigma_g_in = np.atleast_1d(self._sigma_g)[sel_pad]
                 if sweep_impl is None:
                     # compacted width re-decision — same policy, same guards:
-                    run_pallas, run_skip = _dispatch.select_sweep_impl(
-                        S_run, self.mesh, None)
+                    run_pallas, run_skip, run_hybrid = \
+                        _dispatch.select_sweep_impl(S_run, self.mesh, None)
                 else:
-                    run_pallas, run_skip = use_pallas, use_skip
+                    run_pallas, run_skip, run_hybrid = \
+                        use_pallas, use_skip, use_hybrid
+                if run_hybrid and S_run != 1:
+                    run_hybrid = False
             else:
                 state_in, hyper_in = self._state, self._hyper_f32()
                 fix_in, counters_in = self._fix_mask, counters
                 init_elbo_in, active_in = init_elbo, active
                 sigma_g_in = np.atleast_1d(self._sigma_g)
-                run_pallas, run_skip = use_pallas, use_skip
+                run_pallas, run_skip, run_hybrid = \
+                    use_pallas, use_skip, use_hybrid
 
-            self._chunk_trace.append((S_run, run_pallas, run_skip))
+            self._chunk_trace.append((S_run, run_pallas, run_skip,
+                                      run_hybrid))
             call_args = (self._ld, state_in, self._std_beta_flat,
                          self._n_flat, hyper_in, fix_in)
             call_kw = dict(
@@ -877,6 +886,8 @@ class VIPRS(BayesPRSModel):
                 patience=patience, tile=self.tile,
                 inner_steps=inner_steps,
                 use_pallas=run_pallas, use_skip=run_skip,
+                use_hybrid=run_hybrid,
+                hybrid_frac=_dispatch.HYBRID_FRAC,
                 i0=it_done, counters0=counters_in,
                 sigma_g0=jnp.asarray(sigma_g_in, F64),
                 max_restarts=1 if ingraph_restart else 0,
@@ -905,10 +916,13 @@ class VIPRS(BayesPRSModel):
                     getattr(self._hyper, f), dtype=np.float64)).copy()
                     for f in self._hyper._fields}
                 res_hyper_np, sg_np, status_np, nit_np, med_np, n_total_np, \
-                    fe_part, hist_dev = jax.device_get(
+                    fe_part, hist_dev, act_dev = jax.device_get(
                         (res.hyper, res.sigma_g, res.status, res.nit,
                          res.max_eta_diff, res.n_iter_total, res.final_elbo,
-                         res.elbo_hist))
+                         res.elbo_hist, res.act_hist))
+                if run_skip or run_hybrid:
+                    self._act_trace.extend(
+                        np.asarray(act_dev)[1:int(n_total_np) + 1].tolist())
                 for i, f in enumerate(self._hyper._fields):
                     hyper_np[f][sel] = np.asarray(res_hyper_np[i],
                                                   dtype=np.float64)[:n_act]
@@ -941,10 +955,13 @@ class VIPRS(BayesPRSModel):
                 # including the hyperparameters; separate pulls each pay the
                 # accelerator round trip):
                 (hyper_np, sg_np, status_np, nit_np, med_np, n_total_np,
-                 fe_np, hist_dev, ru_np) = jax.device_get(
+                 fe_np, hist_dev, ru_np, act_dev) = jax.device_get(
                     (res.hyper, res.sigma_g, res.status, res.nit,
                      res.max_eta_diff, res.n_iter_total, res.final_elbo,
-                     res.elbo_hist, res.restarts_used))
+                     res.elbo_hist, res.restarts_used, res.act_hist))
+                if run_skip or run_hybrid:
+                    self._act_trace.extend(
+                        np.asarray(act_dev)[1:int(n_total_np) + 1].tolist())
                 if ingraph_restart and int(np.asarray(ru_np).max()) > 0:
                     # mirror the in-graph restart on the host bookkeeping
                     # (what _restart_models would have done):

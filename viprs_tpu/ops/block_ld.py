@@ -93,7 +93,13 @@ LD_LAYOUT_THRESHOLD_BYTES = float(
     __import__('os').environ.get('VIPRS_LD_LAYOUT_THRESHOLD_GB', 4.0)) * 1e9
 
 #: The fused S=1 EM program's preferred diag layout on TPU (see above).
-XLA_DIAG_LAYOUT = (1, 2, 0)
+#: Discovered by one AUTO-layout probe on the current XLA/TPU generation;
+#: override via VIPRS_LD_LAYOUT="i,j,k" if a future compiler/topology
+#: prefers a different major_to_minor order (re-probe with
+#: benchmarks/measure_capacity.py --layout-probe).
+XLA_DIAG_LAYOUT = tuple(
+    int(x) for x in __import__('os').environ.get(
+        'VIPRS_LD_LAYOUT', '1,2,0').split(','))
 
 
 def _place_diag(diag):
@@ -104,11 +110,20 @@ def _place_diag(diag):
                 and jax.default_backend() in ('tpu', 'axon')):
             from jax.experimental.layout import Format, Layout
             from jax.sharding import SingleDeviceSharding
+            dev = jax.config.jax_default_device or jax.devices()[0]
             fmt = Format(Layout(major_to_minor=XLA_DIAG_LAYOUT),
-                         SingleDeviceSharding(jax.devices()[0]))
+                         SingleDeviceSharding(dev))
             return jax.device_put(diag, fmt)
-    except Exception:  # pragma: no cover — layout API unavailable
-        pass
+    except (ImportError, AttributeError, TypeError) as e:
+        # layout API unavailable on this jax version — fall back to the
+        # default layout, which re-inserts the in-program relayout copy on
+        # large panels (the OOM this placement avoids); say so instead of
+        # failing silently. A real device OOM in device_put propagates.
+        import logging
+        logging.getLogger(__name__).warning(
+            "preferred-layout device_put unavailable (%s); using the default "
+            "layout — panels over the threshold may pay a full in-program "
+            "LD relayout copy.", e)
     return jnp.asarray(diag)
 
 

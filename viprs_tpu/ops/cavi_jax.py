@@ -147,10 +147,23 @@ def compute_q(ld: BlockLD, eta, chunked=None):
     the LD (the eager path did — 4x the LD bytes in HBM, 39 GB at 9.6M
     variants). ``chunked`` (default: tiles above the relayout threshold)
     streams block-by-block so peak temp memory is one (B, B) tile.
+
+    The chunk decision is per DEVICE: when ``ld.diag`` is GSPMD-sharded over
+    the 'blocks' mesh axis, the dense einsum 'bij,sbj->sbi' partitions
+    perfectly over b, while ``lax.scan`` is sequential over that axis and
+    would force per-step cross-device slicing/replication — so a sharded LD
+    only chunks if its per-device share exceeds the threshold.
     """
     if chunked is None:
         from .block_ld import LD_LAYOUT_THRESHOLD_BYTES
-        chunked = ld.diag.nbytes > LD_LAYOUT_THRESHOLD_BYTES
+        n_dev = 1
+        sh = getattr(ld.diag, 'sharding', None)
+        if sh is not None:
+            try:
+                n_dev = max(1, len(sh.device_set))
+            except (AttributeError, TypeError):
+                n_dev = 1
+        chunked = ld.diag.nbytes / n_dev > LD_LAYOUT_THRESHOLD_BYTES
     return (_compute_q_scanned if chunked else _compute_q_dense)(ld, eta)
 
 

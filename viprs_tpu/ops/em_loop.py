@@ -56,6 +56,9 @@ class EMCarry(NamedTuple):
     max_eta_diff: jnp.ndarray    # (S,) f32
     fix_se: jnp.ndarray          # (S,) bool — sigma_eps fixed (set by restart)
     restarts_left: jnp.ndarray   # (S,) i32 — in-graph restart budget
+    act_hist: jnp.ndarray        # (max_iter+1,) i32 — active-block count per
+    #                              iteration (-1 where not measured; only the
+    #                              skip/hybrid dispatches compute the mask)
 
 
 class EMCounters(NamedTuple):
@@ -96,6 +99,7 @@ class EMResult(NamedTuple):
     counters: EMCounters
     max_eta_diff: jnp.ndarray
     restarts_used: jnp.ndarray = None  # (S,) i32 — in-graph restarts taken
+    act_hist: jnp.ndarray = None  # (max_iter+1,) i32 active-block trace
 
 
 def _hyper_f32(h: Hyper) -> Hyper:
@@ -104,7 +108,7 @@ def _hyper_f32(h: Hyper) -> Hyper:
 
 @partial(jax.jit, static_argnames=(
     'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas', 'use_skip',
-    'max_restarts'))
+    'use_hybrid', 'hybrid_frac', 'max_restarts'))
 def em_fit(ld: BlockLD,
            state0: CaviState,
            std_beta, n_per_snp,
@@ -123,6 +127,8 @@ def em_fit(ld: BlockLD,
            inner_steps: int = 8,
            use_pallas: bool = False,
            use_skip: bool = False,
+           use_hybrid: bool = False,
+           hybrid_frac: float = 0.35,
            i0=0,
            counters0: EMCounters = None,
            sigma_g0=None,
@@ -151,6 +157,15 @@ def em_fit(ld: BlockLD,
         computed in-graph — the whole fit stays ONE dispatch. The driver
         enables this only on the single-dispatch S=1 path; chunked runs keep
         the host restart (identical trajectory either way).
+    :param use_hybrid: S==1 only — the activity-gated HYBRID dispatch: each
+        iteration computes the per-block proposal mask (no LD traffic) and
+        picks, via ``lax.cond``, the block-skipping Pallas sweep when at most
+        ``hybrid_frac`` of the blocks are active, the all-active XLA tile
+        loop otherwise. Generalizes the reference's per-variant skip
+        threshold (e_step.hpp:382,404-413) to the iteration level: the early
+        all-active phase keeps the cheap straight stream, the long
+        low-activity tail stops paying for quiescent blocks. The
+        active-block trace comes back in ``EMResult.act_hist``.
     :returns: EMResult (``status == MAX_ITER`` means the lane ran out of THIS
         call's iteration budget — a chunked driver continues those lanes).
     """
@@ -193,6 +208,7 @@ def em_fit(ld: BlockLD,
         max_eta_diff=jnp.zeros(S, F32),
         fix_se=jnp.broadcast_to(jnp.asarray(fix.sigma_eps, bool), (S,)),
         restarts_left=jnp.full(S, max_restarts, I32),
+        act_hist=jnp.full(max_iter + 1, -1, I32),
     )
 
     def cond(c: EMCarry):
@@ -205,7 +221,40 @@ def em_fit(ld: BlockLD,
         act_f = c.active.astype(F32) * c.damping
 
         # ---- E-step ----
-        if use_skip and S == 1:
+        n_act_blk = jnp.asarray(-1, I32)   # active-block count (if measured)
+        if use_hybrid:
+            # HYBRID activity-gated dispatch (S == 1): pick per iteration
+            # between the all-active XLA tile loop and the block-skipping
+            # Pallas sweep, on the live proposal-mask population count. The
+            # mask is elementwise over M (no LD traffic) and both sweeps are
+            # exact (the skip kernel freezes only blocks that are fixed
+            # points of their own keep-gated sweep), so the gate is purely a
+            # cost decision — the measured crossover is ~0.5*NB; the default
+            # threshold stays below it (model/_dispatch.py:HYBRID_FRAC).
+            assert S == 1, "hybrid dispatch is the single-model policy"
+            from .cavi_pallas import (cavi_sweep_pallas_s1_skip,
+                                      block_proposal_mask)
+            blk = block_proposal_mask(ld, c.state, std_beta, n_per_snp,
+                                      h32)[0]                      # (NB,)
+            blk = blk & (act_f[0] > 0.0)
+            n_act_blk = jnp.sum(blk).astype(I32)
+            thresh = I32(int(hybrid_frac * blk.shape[0]))
+
+            def _skip_sweep(operands):
+                st, af, bm = operands
+                return cavi_sweep_pallas_s1_skip(
+                    ld, st, std_beta, n_per_snp, h32, af, bm,
+                    tile=tile, inner_steps=inner_steps)
+
+            def _xla_sweep(operands):
+                st, af, _ = operands
+                return cavi_sweep(ld, st, std_beta, n_per_snp, h32, af,
+                                  tile=tile, inner_steps=inner_steps)
+
+            state, eta_diff = lax.cond(n_act_blk <= thresh,
+                                       _skip_sweep, _xla_sweep,
+                                       (c.state, act_f, blk))
+        elif use_skip and S == 1:
             # Block-skipping sweep: stream (and compute) only the LD blocks
             # whose first-step CAVI proposal still moves — the block-level
             # analog of the reference's per-variant skip threshold
@@ -217,6 +266,7 @@ def em_fit(ld: BlockLD,
             blk = block_proposal_mask(ld, c.state, std_beta, n_per_snp,
                                       h32)[0]                      # (NB,)
             blk = blk & (act_f[0] > 0.0)
+            n_act_blk = jnp.sum(blk).astype(I32)
             state, eta_diff = cavi_sweep_pallas_s1_skip(
                 ld, c.state, std_beta, n_per_snp, h32, act_f, blk,
                 tile=tile, inner_steps=inner_steps)
@@ -383,6 +433,7 @@ def em_fit(ld: BlockLD,
 
         hist = lax.dynamic_update_slice(c.elbo_hist, curr_elbo[None, :],
                                         (i, jnp.asarray(0, I32)))
+        act_hist = lax.dynamic_update_slice(c.act_hist, n_act_blk[None], (i,))
 
         return EMCarry(state=state, hyper=hyper, sigma_g=sigma_g, i=i,
                        active=active, status=status, nit=nit,
@@ -391,7 +442,8 @@ def em_fit(ld: BlockLD,
                        stall_counter=stall, sigma_g_counter=sigma_g_counter,
                        div_counter=div_counter, damping=damping,
                        elbo_hist=hist, max_eta_diff=max_ed,
-                       fix_se=fix_se, restarts_left=restarts_left)
+                       fix_se=fix_se, restarts_left=restarts_left,
+                       act_hist=act_hist)
 
     c = lax.while_loop(cond, body, carry)
 
@@ -418,4 +470,5 @@ def em_fit(ld: BlockLD,
                         damping=c.damping),
                     max_eta_diff=c.max_eta_diff,
                     restarts_used=jnp.full(S, max_restarts, I32)
-                    - c.restarts_left)
+                    - c.restarts_left,
+                    act_hist=c.act_hist)

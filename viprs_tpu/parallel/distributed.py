@@ -39,3 +39,28 @@ def global_mesh(n_grid_axis=1):
     """A ('blocks', 'grid') mesh over all global devices."""
     from .mesh import make_mesh
     return make_mesh(n_grid_axis=n_grid_axis)
+
+
+def fetch(x):
+    """``jax.device_get`` that also works for multi-process global arrays.
+
+    Fully-addressable (single-process) or fully-replicated arrays go through
+    plain ``device_get``; an array spanning non-addressable devices (state
+    sharded over a multi-host mesh) is gathered with
+    ``multihost_utils.process_allgather``. That gather is a collective —
+    every process must reach it in lockstep, which holds for the
+    deterministic host drivers here (same np.random seed, same chunk
+    decisions on every process).
+    """
+    import numpy as np
+
+    def one(a):
+        if not hasattr(a, 'sharding'):
+            return np.asarray(a)
+        if (getattr(a, 'is_fully_addressable', True)
+                or getattr(a, 'is_fully_replicated', False)):
+            return jax.device_get(a)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+    return jax.tree_util.tree_map(one, x)
