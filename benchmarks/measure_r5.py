@@ -62,11 +62,20 @@ def main():
 
     results = {}
     for impl in args.impls.split(','):
-        sweep_impl = None if impl == 'hybrid' else impl
+        # 'hybrid:<eps>' measures an explicit gate epsilon (default:
+        # x_abs_tol — see em_loop.em_fit hybrid_eps):
+        extra = {}
+        if impl.startswith('hybrid:'):
+            extra['hybrid_eps'] = float(impl.split(':', 1)[1])
+            sweep_impl = None
+            impl = impl.replace(':', '_eps')
+        else:
+            sweep_impl = None if impl == 'hybrid' else impl
+        run_kwargs = dict(fit_kwargs, **extra)
         np.random.seed(0)
         t0 = time.time()
         model = VIPRS(ds)
-        model.fit(sweep_impl=sweep_impl, **fit_kwargs)
+        model.fit(sweep_impl=sweep_impl, **run_kwargs)
         cold = time.time() - t0
         log(f"[{impl}] cold (incl. compile): {cold:.2f}s; "
             f"iters={model.optim_result.nit}; "
@@ -80,7 +89,7 @@ def main():
             np.random.seed(0)
             t0 = time.time()
             m2 = VIPRS(ds)
-            m2.fit(sweep_impl=sweep_impl, **fit_kwargs)
+            m2.fit(sweep_impl=sweep_impl, **run_kwargs)
             times.append(time.time() - t0)
             iters.append(int(m2.optim_result.nit))
             h2 = float(m2.get_heritability())

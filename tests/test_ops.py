@@ -445,11 +445,15 @@ class TestHybridDispatch:
     def test_threshold_full_is_bitwise_skip(self, problem, interp):
         """hybrid_frac=1: every iteration takes the skip branch — the run
         must equal em_fit(use_skip=True) BITWISE."""
+        from viprs_tpu.ops.cavi_jax import ETA_DIFF_EPS
         ld, state, sbf, nf, hyper, fixm, kw = problem
         res_s = em_loop.em_fit(ld, state, sbf, nf, hyper, fixm,
                                use_skip=True, **kw)
+        # pin the gate eps to the skip path's own threshold (the hybrid
+        # default is x_abs_tol, which differs):
         res_h = em_loop.em_fit(ld, state, sbf, nf, hyper, fixm,
-                               use_hybrid=True, hybrid_frac=1.0, **kw)
+                               use_hybrid=True, hybrid_frac=1.0,
+                               hybrid_eps=ETA_DIFF_EPS, **kw)
         np.testing.assert_array_equal(np.asarray(res_h.state.eta),
                                       np.asarray(res_s.state.eta))
         np.testing.assert_array_equal(np.asarray(res_h.elbo_hist),

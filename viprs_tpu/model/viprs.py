@@ -744,6 +744,7 @@ class VIPRS(BayesPRSModel):
         # exact dispatch, then return without running:
         compile_only = kwargs.pop('compile_only', False)
         inner_steps = kwargs.pop('inner_steps', 8)
+        hybrid_eps = kwargs.pop('hybrid_eps', None)
         use_pallas, use_skip, use_hybrid = _dispatch.select_sweep_impl(
             S, self.mesh, sweep_impl)
 
@@ -888,6 +889,7 @@ class VIPRS(BayesPRSModel):
                 use_pallas=run_pallas, use_skip=run_skip,
                 use_hybrid=run_hybrid,
                 hybrid_frac=_dispatch.HYBRID_FRAC,
+                hybrid_eps=hybrid_eps,
                 i0=it_done, counters0=counters_in,
                 sigma_g0=jnp.asarray(sigma_g_in, F64),
                 max_restarts=1 if ingraph_restart else 0,

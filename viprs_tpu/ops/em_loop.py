@@ -108,7 +108,7 @@ def _hyper_f32(h: Hyper) -> Hyper:
 
 @partial(jax.jit, static_argnames=(
     'tile', 'max_iter', 'min_iter', 'inner_steps', 'use_pallas', 'use_skip',
-    'use_hybrid', 'hybrid_frac', 'max_restarts'))
+    'use_hybrid', 'hybrid_frac', 'hybrid_eps', 'max_restarts'))
 def em_fit(ld: BlockLD,
            state0: CaviState,
            std_beta, n_per_snp,
@@ -129,6 +129,7 @@ def em_fit(ld: BlockLD,
            use_skip: bool = False,
            use_hybrid: bool = False,
            hybrid_frac: float = 0.35,
+           hybrid_eps: float = None,
            i0=0,
            counters0: EMCounters = None,
            sigma_g0=None,
@@ -162,10 +163,14 @@ def em_fit(ld: BlockLD,
         picks, via ``lax.cond``, the block-skipping Pallas sweep when at most
         ``hybrid_frac`` of the blocks are active, the all-active XLA tile
         loop otherwise. Generalizes the reference's per-variant skip
-        threshold (e_step.hpp:382,404-413) to the iteration level: the early
-        all-active phase keeps the cheap straight stream, the long
-        low-activity tail stops paying for quiescent blocks. The
+        threshold (e_step.hpp:382,404-413) to the iteration level. The
         active-block trace comes back in ``EMResult.act_hist``.
+    :param hybrid_eps: gate epsilon for the hybrid's proposal mask. Default
+        ``None`` = ``x_abs_tol``: a skipped block's foregone update is below
+        the per-step tolerance the fit itself converges at. Pass
+        ``cavi_jax.ETA_DIFF_EPS`` for the machine-precision gate (then
+        skipping is exact, but at block granularity it essentially never
+        fires while the fit is running — measured in BENCH.md round 5).
     :returns: EMResult (``status == MAX_ITER`` means the lane ran out of THIS
         call's iteration budget — a chunked driver continues those lanes).
     """
@@ -226,16 +231,21 @@ def em_fit(ld: BlockLD,
             # HYBRID activity-gated dispatch (S == 1): pick per iteration
             # between the all-active XLA tile loop and the block-skipping
             # Pallas sweep, on the live proposal-mask population count. The
-            # mask is elementwise over M (no LD traffic) and both sweeps are
-            # exact (the skip kernel freezes only blocks that are fixed
-            # points of their own keep-gated sweep), so the gate is purely a
-            # cost decision — the measured crossover is ~0.5*NB; the default
-            # threshold stays below it (model/_dispatch.py:HYBRID_FRAC).
+            # mask is elementwise over M (no LD traffic). The gate epsilon
+            # defaults to x_abs_tol — the fit's own per-step convergence
+            # tolerance: a block whose max first-step proposal is below it
+            # already satisfies the x-criterion locally, so freezing it for
+            # the iteration perturbs the trajectory by less than the
+            # tolerance the fit converges at. (The machine-precision
+            # ETA_DIFF_EPS gate measured out: at block granularity the max
+            # over ~1000 lanes virtually never falls below 1e-8 while the
+            # fit is still running — activity stayed at 97%, BENCH.md r5.)
             assert S == 1, "hybrid dispatch is the single-model policy"
             from .cavi_pallas import (cavi_sweep_pallas_s1_skip,
                                       block_proposal_mask)
+            gate_eps = x_abs_tol if hybrid_eps is None else hybrid_eps
             blk = block_proposal_mask(ld, c.state, std_beta, n_per_snp,
-                                      h32)[0]                      # (NB,)
+                                      h32, eps=gate_eps)[0]        # (NB,)
             blk = blk & (act_f[0] > 0.0)
             n_act_blk = jnp.sum(blk).astype(I32)
             thresh = I32(int(hybrid_frac * blk.shape[0]))
