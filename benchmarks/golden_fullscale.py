@@ -219,11 +219,49 @@ def main():
         f"({ref['message']}), h2={ref['h2']:.4f}, elbo={ref['elbo']:.2f}, "
         f"restart at {ref['restart_iter']}")
 
+    # ---- cross fixed-point check ----
+    # The sharpest parity statement at a multi-modal genome-scale objective
+    # is NOT trajectory identity (the late inclusion-flip phase lands in
+    # equivalent modes) but stationarity: OUR solution must be a (near-)
+    # fixed point of the REFERENCE'S OWN compiled kernel. Run 5 reference
+    # sweeps from our final state at our final hyperparameters and measure
+    # the drift.
+    mu_ours_d = {}
+    q_ours_d = {}
+    st = model._state
+    lay = ds.layout
+    mu_ours_d = lay.from_flat(np.asarray(st.mu[0], dtype=np.float64)
+                              .reshape(-1))
+    q_ours_d = lay.from_flat(np.asarray(st.q[0], dtype=np.float64)
+                             .reshape(-1))
+    mu_cat = np.concatenate([mu_ours_d[c] for c in sorted(mu_ours_d)])
+    q_cat = np.concatenate([q_ours_d[c] for c in sorted(q_ours_d)])
+    g_x = pip_ours.astype(np.float64).copy()
+    mu_x = mu_cat.copy()
+    eta_x = eta_ours.astype(np.float64).copy()
+    q_x = q_cat.copy()
+    h = model._hyper
+    se_f = float(np.atleast_1d(h.sigma_eps)[0])
+    tb_f = float(np.atleast_1d(h.tau_beta)[0])
+    pi_f = float(np.atleast_1d(h.pi)[0])
+    drifts = []
+    for _ in range(5):
+        eta_prev = eta_x.copy()
+        kern.e_step(banded, sb_cat, n_cat, g_x, mu_x, eta_x, q_x,
+                    se_f, tb_f, pi_f, dq_scale=1.0 / 127.0)
+        drifts.append(float(np.max(np.abs(eta_x - eta_prev))))
+    drift_corr = float(np.corrcoef(eta_x, eta_ours)[0, 1])
+    log(f"cross fixed-point: max|d_eta| per reference sweep from our "
+        f"solution: {['%.2e' % d for d in drifts]}; eta corr after 5 "
+        f"sweeps: {drift_corr:.6f}")
+
     # ---- comparison ----
     eta_ref = ref['eta']
     pip_ref = ref['gamma']
     eta_corr = float(np.corrcoef(eta_ours, eta_ref)[0, 1])
     pip_corr = float(np.corrcoef(pip_ours, pip_ref)[0, 1])
+    sel_a = pip_ours > 0.5
+    sel_b = pip_ref > 0.5
     out = {
         "metric": "golden_fullscale_parity",
         "m_variants": int(len(sb_cat)),
@@ -245,6 +283,13 @@ def main():
             "pip_corr": round(pip_corr, 6),
             "eta_max_abs_diff": round(
                 float(np.max(np.abs(eta_ours - eta_ref))), 8),
+            "n_selected_ours": int(sel_a.sum()),
+            "n_selected_ref": int(sel_b.sum()),
+            "selection_overlap": int((sel_a & sel_b).sum()),
+        },
+        "cross_fixed_point": {
+            "ref_sweep_drift_from_ours": [round(d, 8) for d in drifts],
+            "eta_corr_after_5_ref_sweeps": round(drift_corr, 6),
         },
     }
     print(json.dumps(out), flush=True)

@@ -80,49 +80,53 @@ def main():
     DISPATCH_S = 0.027
     N_REP = 50
 
-    def make_body(mode, thresh):
+    # NB: ld/sb/nf/hyper/act/mask must be chain ARGUMENTS — closing over
+    # them embeds the GB-scale LD as HLO constants and blows the remote
+    # compile request limit (HTTP 413) on the axon transport.
+    @partial(jax.jit, static_argnames=('mode', 'thresh'))
+    def chain(st, ld_, sb_, nf_, hyper_, act_, fmask_, n_, mode, thresh):
         def body(st):
             if mode == 'plain':
-                return cavi_sweep(ld, st, sb, nf, hyper, act, tile=128,
+                return cavi_sweep(ld_, st, sb_, nf_, hyper_, act_, tile=128,
                                   inner_steps=8)[0]
             if mode == 'forced_few':
-                blk = few_mask
+                blk = fmask_
             else:
-                blk = block_proposal_mask(ld, st, sb, nf, hyper,
-                                          eps=1e-6)[0] & (act[0] > 0)
+                blk = block_proposal_mask(ld_, st, sb_, nf_, hyper_,
+                                          eps=1e-6)[0] & (act_[0] > 0)
             n_act = jnp.sum(blk)
 
             def _skip(ops):
                 s, a, b = ops
                 return cavi_sweep_pallas_s1_skip(
-                    ld, s, sb, nf, hyper, a, b, tile=128, inner_steps=8)
+                    ld_, s, sb_, nf_, hyper_, a, b, tile=128, inner_steps=8)
 
             def _xla(ops):
                 s, a, _ = ops
-                return cavi_sweep(ld, s, sb, nf, hyper, a, tile=128,
+                return cavi_sweep(ld_, s, sb_, nf_, hyper_, a, tile=128,
                                   inner_steps=8)
 
-            st2, _ = lax.cond(n_act <= thresh, _skip, _xla, (st, act, blk))
+            st2, _ = lax.cond(n_act <= thresh, _skip, _xla, (st, act_, blk))
             return st2
-        return body
+        return lax.fori_loop(0, n_, lambda _, s: body(s), st)
 
     configs = [
-        ('A_plain_xla', make_body('plain', 0)),
-        ('B_mask_cond_xla', make_body('mask', -1)),
-        ('C_mask_cond_skip_allactive', make_body('mask', nb + 1)),
-        ('D_cond_skip_3pct', make_body('forced_few', nb + 1)),
+        ('A_plain_xla', 'plain', 0),
+        ('B_mask_cond_xla', 'mask', -1),
+        ('C_mask_cond_skip_allactive', 'mask', nb + 1),
+        ('D_cond_skip_3pct', 'forced_few', nb + 1),
     ]
 
     results = {}
-    for name, body in configs:
-        @jax.jit
-        def chain(st, n_, body=body):
-            return lax.fori_loop(0, n_, lambda _, s: body(s), st)
+    for name, mode, thresh in configs:
+        def call(st, n_):
+            return chain(st, ld, sb, nf, hyper, act, few_mask,
+                         jnp.asarray(n_), mode=mode, thresh=thresh)
         try:
-            warm = chain(state0, jnp.asarray(3))
+            warm = call(state0, 3)
             float(np.asarray(warm.eta[:1, :1, :1]).ravel()[0])
             t0 = time.time()
-            out = chain(warm, jnp.asarray(N_REP))
+            out = call(warm, N_REP)
             float(np.asarray(out.eta[:1, :1, :1]).ravel()[0])
             dt = max(time.time() - t0 - DISPATCH_S, 1e-9) / N_REP
         except Exception as e:

@@ -62,16 +62,31 @@ def main():
     def logit(p):
         return float(np.log(p) - np.log1p(-p))
 
-    def time_chain(fn, state, n_rep=N_REP, probe=None):
-        """Fused chain timing; returns seconds/sweep."""
-        @partial(jax.jit, static_argnames=())
-        def chain(st, n_):
-            return jax.lax.fori_loop(0, n_, lambda _, s: fn(s), st)
-        warm = chain(state, jnp.asarray(3))
-        float(np.asarray(probe(warm)).ravel()[0])
+    # NB: ld/sb/nf/hyper/act must be chain ARGUMENTS — closing over them
+    # embeds the GB-scale LD as HLO constants and blows the remote compile
+    # request limit (HTTP 413) on the axon transport.
+    @partial(jax.jit, static_argnames=('kind', 'inner'))
+    def chain(st, ld_, sb_, nf_, hyper_, act_, n_, kind, inner):
+        if kind == 'plain':
+            def body(_, s):
+                return cavi_sweep_pallas(ld_, s, sb_, nf_, hyper_, act_,
+                                         tile=128, inner_steps=inner)[0]
+        else:
+            def body(_, s):
+                return cavi_sweep_mixture_pallas_batch(
+                    ld_, s, sb_, nf_, hyper_, act_, tile=128,
+                    inner_steps=inner)[0]
+        return jax.lax.fori_loop(0, n_, body, st)
+
+    def time_chain(kind, inner, state, hyper, act, n_rep=N_REP):
+        def call(st, n_):
+            return chain(st, ld, sb, nf, hyper, act, jnp.asarray(n_),
+                         kind=kind, inner=inner)
+        warm = call(state, 3)
+        float(np.asarray(warm.eta[:1, :1, :1]).ravel()[0])
         t0 = time.time()
-        out = chain(warm, jnp.asarray(n_rep))
-        float(np.asarray(probe(out)).ravel()[0])
+        out = call(warm, n_rep)
+        float(np.asarray(out.eta[:1, :1, :1]).ravel()[0])
         return max(time.time() - t0 - DISPATCH_S, 1e-9) / n_rep
 
     results = {}
@@ -88,12 +103,7 @@ def main():
                           tau_beta=jnp.full(S, 0.01 * m / 0.25, jnp.float32),
                           pi=jnp.full(S, 0.01, jnp.float32),
                           lambda_min=jnp.zeros(S, jnp.float32))
-            act = jnp.ones(S)
-
-            def fn(st, hyper=hyper, act=act, inner=inner):
-                return cavi_sweep_pallas(ld, st, sb, nf, hyper, act,
-                                         tile=128, inner_steps=inner)[0]
-            dt = time_chain(fn, state, probe=lambda s: s.eta[:1, :1, :1])
+            dt = time_chain('plain', inner, state, hyper, jnp.ones(S))
             results[f'plain_S{S}_inner{inner}'] = dt
             log(f"plain batch Pallas S={S} inner={inner}: "
                 f"{dt * 1e3:.2f} ms/sweep ({dt * 1e6 / S:.1f} us/lane)")
@@ -112,12 +122,7 @@ def main():
             * jnp.asarray([1.0, 4.0, 16.0], jnp.float32)[None],
             pi=jnp.full((S, K), 0.01 / K, jnp.float32),
             lambda_min=jnp.zeros(S, jnp.float32))
-        act = jnp.ones(S)
-
-        def fnm(st, hyper=hyper, act=act, inner=inner):
-            return cavi_sweep_mixture_pallas_batch(
-                ld, st, sb, nf, hyper, act, tile=128, inner_steps=inner)[0]
-        dt = time_chain(fnm, state, probe=lambda s: s.eta[:1, :1, :1])
+        dt = time_chain('mix', inner, state, hyper, jnp.ones(S))
         results[f'mix_S{S}K{K}_inner{inner}'] = dt
         log(f"mixture batch Pallas S={S} K={K} inner={inner}: "
             f"{dt * 1e3:.2f} ms/sweep ({dt * 1e6 / S:.1f} us/lane, "

@@ -338,12 +338,12 @@ def hmc_refine(dataset, gamma_mask, pi=0.01, tau_beta=1000.0, sigma_eps=0.9,
         return beta_new, e_new, alpha.mean()
 
     n_warm = n_samples // 2
-    # Adaptation target: 0.72 rather than the textbook 0.65 — the averaged
-    # step size slightly overshoots once adaptation stops (and f32 energy
-    # noise grows with M), so sampling-phase acceptance runs ~0.1 below the
-    # warmup target; 0.72 lands sampling in the 0.6-0.8 band at genome scale
-    # (measured at 150k, BENCH.md round 4):
-    delta = 0.72
+    # Adaptation target: above the textbook 0.65 — the averaged step size
+    # slightly overshoots once adaptation stops (and f32 energy noise grows
+    # with M), so sampling-phase acceptance runs ~0.07-0.1 below the warmup
+    # target. 0.72 landed sampling at 0.62 at 150k (round 4); 0.78 targets
+    # sampling >= 0.65, the stated spec (measured in BENCH.md round 5):
+    delta = 0.78
     mu = np.log(10.0 * eps0)
     gamma_da, t0_da, kappa_da = 0.05, 10.0, 0.75
 
