@@ -110,6 +110,33 @@ def main():
             return st2
         return lax.fori_loop(0, n_, lambda _, s: body(s), st)
 
+    # E: the skip branch consumes its OWN device copy of the diag tiles —
+    # if D's overhead is a per-iteration layout-change copy (the XLA branch
+    # prefers (1,2,0), Pallas requires row-major), giving each branch its
+    # own buffer removes it at the cost of 2x LD residency.
+    from viprs_tpu.ops.block_ld import BlockLD
+
+    @partial(jax.jit, static_argnames=('thresh',))
+    def chain2(st, ld_, ld_skip_, sb_, nf_, hyper_, act_, fmask_, n_, thresh):
+        def body(st):
+            blk = fmask_
+            n_act = jnp.sum(blk)
+
+            def _skip(ops):
+                s, a, b = ops
+                return cavi_sweep_pallas_s1_skip(
+                    ld_skip_, s, sb_, nf_, hyper_, a, b, tile=128,
+                    inner_steps=8)
+
+            def _xla(ops):
+                s, a, _ = ops
+                return cavi_sweep(ld_, s, sb_, nf_, hyper_, a, tile=128,
+                                  inner_steps=8)
+
+            st2, _ = lax.cond(n_act <= thresh, _skip, _xla, (st, act_, blk))
+            return st2
+        return lax.fori_loop(0, n_, lambda _, s: body(s), st)
+
     configs = [
         ('A_plain_xla', 'plain', 0),
         ('B_mask_cond_xla', 'mask', -1),
@@ -134,6 +161,26 @@ def main():
             continue
         results[name] = dt
         log(f"{name}: {dt * 1e3:.2f} ms/sweep")
+
+    # E: separate diag buffer for the skip branch (3% active):
+    import jax.numpy as _jnp
+    ld_skip = BlockLD(diag=_jnp.asarray(np.asarray(ld.diag)),
+                      off_data=ld.off_data, off_src=ld.off_src,
+                      off_dst=ld.off_dst, mask=ld.mask, scale=ld.scale)
+    try:
+        def call2(st, n_):
+            return chain2(st, ld, ld_skip, sb, nf, hyper, act, few_mask,
+                          jnp.asarray(n_), thresh=nb + 1)
+        warm = call2(state0, 3)
+        float(np.asarray(warm.eta[:1, :1, :1]).ravel()[0])
+        t0 = time.time()
+        out = call2(warm, N_REP)
+        float(np.asarray(out.eta[:1, :1, :1]).ravel()[0])
+        dt = max(time.time() - t0 - DISPATCH_S, 1e-9) / N_REP
+        results['E_cond_skip_3pct_own_diag'] = dt
+        log(f"E_cond_skip_3pct_own_diag: {dt * 1e3:.2f} ms/sweep")
+    except Exception as e:
+        log(f"E: FAILED {type(e).__name__}: {e}")
 
     import json
     print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}),

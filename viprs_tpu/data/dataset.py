@@ -106,6 +106,33 @@ class SummaryStatsDataset:
             self._mesh_ld_cache[mesh] = shard_ld(mesh, self.ld)
         return self._mesh_ld_cache[mesh]
 
+    def ld_skip_view(self):
+        """A second device residency of the diagonal tiles for the hybrid
+        dispatch's Pallas skip branch (measured in BENCH.md round 5: when
+        both em_fit branches share ONE diag parameter, XLA canonicalizes it
+        into the tile loop's preferred (1,2,0) layout and the Pallas branch
+        pays a full per-iteration relayout copy — 5.4 ms/sweep instead of
+        0.9 at 3%% activity; a distinct row-major buffer removes it).
+
+        Cached, so every fit over this dataset shares one extra copy; costs
+        one diag-sized device-to-device copy and doubles the diag's HBM
+        residency — the dispatch policy only selects the hybrid when that
+        fits (model/_dispatch.py:hybrid_ld_fits).
+        """
+        if getattr(self, '_ld_skip_cache', None) is None:
+            import jax
+            import jax.numpy as jnp
+            from ..ops.block_ld import BlockLD
+            # jitted elementwise copy -> a NEW buffer in the default
+            # row-major layout, without a host round trip:
+            diag2 = jax.jit(lambda x: x + jnp.zeros((), x.dtype))(
+                self.ld.diag)
+            self._ld_skip_cache = BlockLD(
+                diag=diag2, off_data=self.ld.off_data,
+                off_src=self.ld.off_src, off_dst=self.ld.off_dst,
+                mask=self.ld.mask, scale=self.ld.scale)
+        return self._ld_skip_cache
+
     # ------------------------------------------------------------ constructors
     @classmethod
     def from_dense_blocks(cls, ld_blocks: Dict, std_beta: Dict, n_per_snp: Dict,

@@ -51,6 +51,20 @@ S1_HYBRID_DEFAULT = True
 HYBRID_FRAC = 0.35
 
 
+#: The hybrid dispatch doubles the diagonal-tile HBM residency (the skip
+#: branch needs its own row-major buffer — see dataset.ld_skip_view); above
+#: this diag size the driver falls back to the XLA tile loop. Override (GB)
+#: via VIPRS_HYBRID_MAX_LD_GB. Capacity-scale fits (9.6M+) exceed this and
+#: run under the mesh / streaming planner anyway, where Pallas is excluded.
+HYBRID_MAX_LD_BYTES = float(
+    __import__('os').environ.get('VIPRS_HYBRID_MAX_LD_GB', 4.0)) * 1e9
+
+
+def hybrid_ld_fits(ld_diag_nbytes):
+    """True iff the hybrid dispatch's second diag residency is affordable."""
+    return ld_diag_nbytes <= HYBRID_MAX_LD_BYTES
+
+
 def pallas_allowed(mesh, backend=None):
     """True iff Pallas kernels may be dispatched at all: a TPU backend and no
     device mesh (sharded state must stay on the XLA tile loop)."""

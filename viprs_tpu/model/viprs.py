@@ -747,6 +747,19 @@ class VIPRS(BayesPRSModel):
         hybrid_eps = kwargs.pop('hybrid_eps', None)
         use_pallas, use_skip, use_hybrid = _dispatch.select_sweep_impl(
             S, self.mesh, sweep_impl)
+        if use_hybrid and not _dispatch.hybrid_ld_fits(self._ld.diag.nbytes):
+            # the skip branch's second diag residency would not fit; the
+            # explicit override errors (the user asked for it), the default
+            # policy falls back to the XLA loop:
+            if sweep_impl == 'hybrid':
+                raise ValueError(
+                    f"sweep_impl='hybrid' needs a second HBM residency of "
+                    f"the {self._ld.diag.nbytes / 1e9:.1f} GB diag tiles "
+                    f"(> VIPRS_HYBRID_MAX_LD_GB="
+                    f"{_dispatch.HYBRID_MAX_LD_BYTES / 1e9:.1f}); use the "
+                    f"mesh or streaming planner at this scale.")
+            use_hybrid = False
+        ld_skip = self.dataset.ld_skip_view() if use_hybrid else None
 
         # The initial objective (reference VIPRS.py:942) is computed IN-GRAPH
         # by the first em_fit dispatch (init_elbo=None) — a fresh fit pays no
@@ -863,8 +876,13 @@ class VIPRS(BayesPRSModel):
                 else:
                     run_pallas, run_skip, run_hybrid = \
                         use_pallas, use_skip, use_hybrid
-                if run_hybrid and S_run != 1:
+                if run_hybrid and (
+                        S_run != 1
+                        or not _dispatch.hybrid_ld_fits(
+                            self._ld.diag.nbytes)):
                     run_hybrid = False
+                if run_hybrid and ld_skip is None:
+                    ld_skip = self.dataset.ld_skip_view()
             else:
                 state_in, hyper_in = self._state, self._hyper_f32()
                 fix_in, counters_in = self._fix_mask, counters
@@ -890,6 +908,7 @@ class VIPRS(BayesPRSModel):
                 use_hybrid=run_hybrid,
                 hybrid_frac=_dispatch.HYBRID_FRAC,
                 hybrid_eps=hybrid_eps,
+                ld_skip=ld_skip if run_hybrid else None,
                 i0=it_done, counters0=counters_in,
                 sigma_g0=jnp.asarray(sigma_g_in, F64),
                 max_restarts=1 if ingraph_restart else 0,

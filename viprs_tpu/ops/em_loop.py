@@ -130,6 +130,7 @@ def em_fit(ld: BlockLD,
            use_hybrid: bool = False,
            hybrid_frac: float = 0.35,
            hybrid_eps: float = None,
+           ld_skip: BlockLD = None,
            i0=0,
            counters0: EMCounters = None,
            sigma_g0=None,
@@ -249,11 +250,18 @@ def em_fit(ld: BlockLD,
             blk = blk & (act_f[0] > 0.0)
             n_act_blk = jnp.sum(blk).astype(I32)
             thresh = I32(int(hybrid_frac * blk.shape[0]))
+            # The skip branch consumes its OWN diag buffer (ld_skip,
+            # dataset.ld_skip_view): sharing one parameter lets XLA
+            # canonicalize it into the tile loop's preferred (1,2,0) layout
+            # and the Pallas branch then pays a full per-iteration relayout
+            # copy (measured 5.4 vs 0.9 ms/sweep at 3% activity, BENCH.md
+            # round 5).
+            ld_for_skip = ld if ld_skip is None else ld_skip
 
             def _skip_sweep(operands):
                 st, af, bm = operands
                 return cavi_sweep_pallas_s1_skip(
-                    ld, st, std_beta, n_per_snp, h32, af, bm,
+                    ld_for_skip, st, std_beta, n_per_snp, h32, af, bm,
                     tile=tile, inner_steps=inner_steps)
 
             def _xla_sweep(operands):
