@@ -306,7 +306,16 @@ def mix_var_tau(n_per_snp, hyper: MixHyper):
 
 
 def mix_stats(state: MixState, var_tau, std_beta, mask):
-    """Masked reductions used by the mixture M-step/ELBO, all float64.
+    """Masked reductions used by the mixture M-step/ELBO.
+
+    Mixed-precision discipline (same as updates.collect_stats on the S=1
+    path, and the reason the batched mixture EM body is cheap): every
+    elementwise term — including the entropy logs — is computed in FLOAT32,
+    the minor (B) axis is summed in f32, and only the per-block partial
+    sums are upcast to float64 for the cross-block accumulation. TPU f64 is
+    software-emulated; the previous full-f64 elementwise entropy over
+    (S, K, NB, B) dominated the batched mixture grid's iteration cost
+    (measured round 5, BENCH.md).
 
     Returns dict with per-component (K,) and scalar reductions.
     """
@@ -326,16 +335,16 @@ def mix_stats(state: MixState, var_tau, std_beta, mask):
     sum_eta_sq = jnp.sum(jnp.sum(state.eta ** 2 * mask, axis=-1)
                          .astype(jnp.float64))
 
-    eps = 1e-12
-    g64 = g.astype(jnp.float64)
-    pip = jnp.clip(jnp.sum(g64, axis=0), eps, 1.0 - eps)
-    null_g = 1.0 - pip
-    gc = jnp.clip(g64, eps, 1.0 - eps)
+    eps = jnp.float32(1e-12)
+    one = jnp.float32(1.0)
+    pip = jnp.clip(jnp.sum(g, axis=0), eps, one - eps)       # f32 (NB,B)
+    null_g = one - pip
+    gc = jnp.clip(g, eps, one - eps)
     sum_g_logg = jnp.sum(jnp.sum(gc * jnp.log(gc) * mask[None], axis=-1)
                          .astype(jnp.float64))
-    sum_ng_logng = jnp.sum(jnp.sum(jnp.clip(null_g, eps, 1 - eps)
-                                   * jnp.log(jnp.clip(null_g, eps, 1 - eps))
-                                   * mask, axis=-1).astype(jnp.float64))
+    ngc = jnp.clip(null_g, eps, one - eps)
+    sum_ng_logng = jnp.sum(jnp.sum(ngc * jnp.log(ngc) * mask, axis=-1)
+                           .astype(jnp.float64))
     sum_null_g = jnp.sum(jnp.sum(null_g * mask, axis=-1).astype(jnp.float64))
     sum_g_logvt = jnp.sum(jnp.sum(g * jnp.log(var_tau) * mk, axis=-1)
                           .astype(jnp.float64), axis=-1)     # (K,)
