@@ -190,6 +190,8 @@ class SummaryStatsDataset:
             return self.ld_scores
         import jax
         import jax.numpy as jnp
+        from jax import lax
+        from ..ops.block_ld import LD_LAYOUT_THRESHOLD_BYTES
 
         @jax.jit
         def _scores(diag, off_data, off_src, off_dst):
@@ -205,7 +207,56 @@ class SummaryStatsDataset:
                 scores = scores.at[off_dst].add(sq_sum(off_data, 1))
             return scores
 
-        scores = _scores(self.ld.diag, self.ld.off_data,
-                         self.ld.off_src, self.ld.off_dst)
+        def _scores_chunked():
+            # Capacity scale: the dense reduction materializes the full 4x
+            # f32 conversion of the tiles (40 GB at 9.6M), and an in-graph
+            # lax.scan forces a full relayout copy of the (1,2,0)-placed
+            # diag (ops/block_ld.XLA_DIAG_LAYOUT) — either one OOMs a 16 GB
+            # chip on top of the resident LD. Host-driven chunks keep the
+            # peak temp at one chunk (relayout slice + its f32 view),
+            # whatever the storage layout.
+            scale2 = np.float32(self.ld.scale) ** 2
+            B = self.ld.block_size
+
+            @jax.jit
+            def chunk_diag(d):
+                f = d.astype(jnp.float32)
+                return (f * f).sum(axis=2) * scale2
+
+            @jax.jit
+            def chunk_off(o):
+                f = o.astype(jnp.float32)
+                return (f * f).sum(axis=2) * scale2, \
+                    (f * f).sum(axis=1) * scale2
+
+            # chunk sized so slice (int8) + its f32 view stay ~0.6 GB: at
+            # capacity scale the resident LD leaves only ~3 GB of HBM free
+            ch = max(1, int(1.25e8 // (B * B)))
+            nb = self.ld.diag.shape[0]
+            scores = np.concatenate(
+                [np.asarray(chunk_diag(lax.slice_in_dim(
+                    self.ld.diag, i, min(i + ch, nb), axis=0)))
+                 for i in range(0, nb, ch)])                  # (NB, B)
+            n_off = self.ld.off_data.shape[0]
+            if n_off:
+                rows, cols = [], []
+                for i in range(0, n_off, ch):
+                    r, c = chunk_off(lax.slice_in_dim(
+                        self.ld.off_data, i, min(i + ch, n_off), axis=0))
+                    rows.append(np.asarray(r))
+                    cols.append(np.asarray(c))
+                off_src = np.asarray(self.ld.off_src)
+                off_dst = np.asarray(self.ld.off_dst)
+                np.add.at(scores, off_src, np.concatenate(rows))
+                np.add.at(scores, off_dst, np.concatenate(cols))
+            return scores
+
+        big = (self.ld.diag.nbytes + self.ld.off_data.nbytes) \
+            > LD_LAYOUT_THRESHOLD_BYTES
+        if big:
+            scores = _scores_chunked()
+        else:
+            scores = _scores(self.ld.diag, self.ld.off_data,
+                             self.ld.off_src, self.ld.off_dst)
         self.ld_scores = self.layout.from_flat(np.asarray(scores).reshape(-1))
         return self.ld_scores

@@ -103,17 +103,43 @@ XLA_DIAG_LAYOUT = tuple(
 
 
 def _place_diag(diag):
-    """Upload diagonal tiles, choosing the device layout by size (above)."""
+    """Upload diagonal tiles, choosing the device layout by size (above).
+
+    The over-threshold path builds the (1,2,0)-layout buffer INCREMENTALLY:
+    a single ``device_put`` with an explicit layout stages the full
+    row-major array on device before relayouting — a transient 2x residency
+    that OOMs exactly the capacity-scale panels this placement exists for
+    (measured at 9.6M: 10.08 GB diag + 10.08 GB staging + 2.28 GB off
+    > 15.75 GB; round 5). Here the target buffer is allocated once in the
+    preferred layout and filled by donated in-place dynamic_update_slice
+    chunks, so the peak is diag + one chunk.
+    """
     try:
         import jax
         if (diag.ndim == 3 and diag.nbytes > LD_LAYOUT_THRESHOLD_BYTES
                 and jax.default_backend() in ('tpu', 'axon')):
+            from functools import partial
             from jax.experimental.layout import Format, Layout
             from jax.sharding import SingleDeviceSharding
             dev = jax.config.jax_default_device or jax.devices()[0]
             fmt = Format(Layout(major_to_minor=XLA_DIAG_LAYOUT),
                          SingleDeviceSharding(dev))
-            return jax.device_put(diag, fmt)
+            nb, B = diag.shape[0], diag.shape[1]
+            chunk = max(1, int(2.5e8 // max(1, B * B * diag.dtype.itemsize)))
+
+            big = jax.jit(
+                lambda: jnp.zeros(diag.shape, diag.dtype),
+                out_shardings=fmt)()
+
+            @partial(jax.jit, donate_argnums=(0,), out_shardings=fmt)
+            def upd(buf, ch, i):
+                z = jnp.zeros((), i.dtype)
+                return jax.lax.dynamic_update_slice(buf, ch, (i, z, z))
+
+            for i in range(0, nb, chunk):
+                ch = jnp.asarray(np.ascontiguousarray(diag[i:i + chunk]))
+                big = upd(big, ch, jnp.asarray(i, jnp.int32))
+            return big
     except (ImportError, AttributeError, TypeError) as e:
         # layout API unavailable on this jax version — fall back to the
         # default layout, which re-inserts the in-program relayout copy on

@@ -86,12 +86,21 @@ def _dequant_matmul(d_t, rows, scale, s1_reduce=False):
     return out
 
 
+#: Above this off-tile byte size, _off_contrib streams the coupling tiles
+#: one at a time: the f32 view of the int8 tiles is used by TWO einsums, so
+#: XLA materializes the full 4x dequantized copy (9.3 GB at the 9.6M panel
+#: — OOMs one chip on top of the 12.4 GB packed LD).
+OFF_SCAN_THRESHOLD_BYTES = 1e9
+
+
 def _off_contrib(ld: BlockLD, v):
     """Cross-tile contribution of the compact coupling blocks:
     out[src_o] += U_o @ v[dst_o]; out[dst_o] += U_o^T @ v[src_o].
 
     v: (S, NB, B). Returns (S, NB, B).
     """
+    if ld.off_data.nbytes > OFF_SCAN_THRESHOLD_BYTES:
+        return _off_contrib_scanned(ld, v)
     U = ld.off_data.astype(F32)                       # (n_off, B, B)
     v_dst = jnp.take(v, ld.off_dst, axis=1)           # (S, n_off, B)
     v_src = jnp.take(v, ld.off_src, axis=1)
@@ -100,6 +109,30 @@ def _off_contrib(ld: BlockLD, v):
     out = jnp.zeros_like(v)
     out = out.at[:, ld.off_src].add(row_part)
     out = out.at[:, ld.off_dst].add(col_part)
+    if ld.scale != 1.0:
+        out = out * F32(ld.scale)
+    return out
+
+
+def _off_contrib_scanned(ld: BlockLD, v):
+    """Capacity-scale _off_contrib: one (B, B) coupling tile dequantized at
+    a time (peak f32 temp = one tile instead of the whole off stack)."""
+    v_dst = jnp.take(v, ld.off_dst, axis=1)           # (S, n_off, B)
+    v_src = jnp.take(v, ld.off_src, axis=1)
+    v_dst_t = jnp.moveaxis(v_dst, 1, 0)               # (n_off, S, B)
+    v_src_t = jnp.moveaxis(v_src, 1, 0)
+
+    def body(_, xs):
+        U_b, vd, vs = xs                              # (B,B), (S,B), (S,B)
+        Uf = U_b.astype(F32)
+        row = jnp.einsum('ij,sj->si', Uf, vd, preferred_element_type=F32)
+        col = jnp.einsum('ji,sj->si', Uf, vs, preferred_element_type=F32)
+        return None, (row, col)
+
+    _, (row_t, col_t) = lax.scan(body, None, (ld.off_data, v_dst_t, v_src_t))
+    out = jnp.zeros_like(v)
+    out = out.at[:, ld.off_src].add(jnp.moveaxis(row_t, 0, 1))
+    out = out.at[:, ld.off_dst].add(jnp.moveaxis(col_t, 0, 1))
     if ld.scale != 1.0:
         out = out * F32(ld.scale)
     return out
