@@ -110,8 +110,29 @@ def audit(S=4):
     hlo = compiled.as_text()
 
     # classify per-iteration vs one-time via the op_name metadata XLA
-    # attaches (ops inside the fused loop carry ".../while/body/..."):
+    # attaches (ops inside the fused loop carry ".../while/body/..."); also
+    # classify each collective's replica groups against the DEPLOYMENT
+    # process partition (v5e-16 = 4 hosts x 4 chips; here scaled to
+    # 4 processes x 2 devices): a group spanning processes rides DCN, a
+    # within-process group rides ICI. GSPMD partitioning is a function of
+    # the global mesh only, so this static classification of the
+    # single-controller HLO equals the multi-process program's.
+    DEVS_PER_PROC = 2
+    grp_re = re.compile(r'replica_groups=\{([^a-z}]*)\}')
+
+    def crosses_process(line):
+        mm2 = grp_re.search(line)
+        if not mm2:
+            return True  # no groups = all devices participate
+        txt = mm2.group(1)
+        for grp in re.findall(r'\{([\d,]+)\}', txt):
+            ids = [int(x) for x in grp.split(',') if x]
+            if len({d // DEVS_PER_PROC for d in ids}) > 1:
+                return True
+        return False
+
     rows = {'body': {}, 'cond': {}, 'setup': {}}
+    dcn_body_bytes = 0
     for line in hlo.splitlines():
         s = line.strip()
         mm = _COLL_RE.search(s)
@@ -121,6 +142,8 @@ def audit(S=4):
         e, b = _op_bytes(s, op)
         if '/while/body/' in s:
             sect = rows['body']
+            if crosses_process(s):
+                dcn_body_bytes += b
         elif '/while/cond/' in s:
             sect = rows['cond']
         else:
@@ -144,9 +167,16 @@ def audit(S=4):
             tot_b += b
         print(f"  TOTAL {tot_b} bytes", file=sys.stderr)
     body_bytes = sum(b for _, _, b in rows['body'].values())
+    print(f"--- DCN boundary (deployment partition: "
+          f"{len(jax.devices()) // DEVS_PER_PROC} processes x "
+          f"{DEVS_PER_PROC} devices) ---", file=sys.stderr)
+    print(f"  per-iteration bytes whose replica groups span processes: "
+          f"{dcn_body_bytes} (of {body_bytes} total)", file=sys.stderr)
     import json
     print(json.dumps({"metric": "psum_bytes_per_em_iteration",
                       "value": body_bytes, "unit": "bytes",
+                      "dcn_boundary_bytes": dcn_body_bytes,
+                      "devs_per_proc": DEVS_PER_PROC,
                       "S": model._S, "mesh": dict(mesh.shape)}))
 
 
