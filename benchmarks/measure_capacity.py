@@ -158,10 +158,14 @@ def run_18m(m_target, workdir, budget_gb, phase='all'):
 
     from viprs_tpu.cli import fit as cli_fit
     t0 = time.time()
+    # --dequantize-on-the-fly keeps the store's int8 tiles in HBM (the
+    # framework's capacity configuration; without it the CLI mirrors the
+    # reference's float default and packs 4x the bytes — the planner then
+    # streams ~4x the groups):
     rc = cli_fit.main(['-l', store, '-s', ss_file,
                        '--output-file', out,
                        '--block-size', '1024', '--max-iter', '1000',
-                       '--seed', '0',
+                       '--seed', '0', '--dequantize-on-the-fly',
                        '--device-memory-gb', str(budget_gb)])
     wall = time.time() - t0
     assert rc == 0, f"streamed 18M CLI fit failed rc={rc}"
