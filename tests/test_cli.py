@@ -313,3 +313,31 @@ def test_warmup_precompiles_the_fit_program(pipeline_data, tmp_path):
         f"fit recompiled large programs after warmup: {big_new} "
         f"(new={sorted(new)})")
     assert os.path.exists(out + '.fit.gz')
+
+
+def test_sweep_impl_flag(pipeline_data):
+    """--sweep-impl plumbs through to the fused fit: an explicit 'xla' run
+    reproduces the default policy's output on CPU (where the policy resolves
+    to the XLA tile loop), and a Pallas request off-TPU surfaces the dispatch
+    policy's error rather than silently falling back."""
+    tmp = pipeline_data['tmp']
+    out_default = str(tmp / 'sweep' / 'default')
+    out_xla = str(tmp / 'sweep' / 'xla')
+    base = ['bin/viprs_fit', '-l', pipeline_data['store'],
+            '-s', pipeline_data['sumstats'],
+            '--block-size', '128', '--max-iter', '100', '--seed', '7']
+    _run(base + ['--output-file', out_default])
+    _run(base + ['--output-file', out_xla, '--sweep-impl', 'xla',
+                 '--hybrid-eps', '1e-5'])  # accepted (inert for 'xla')
+    t0 = pd.read_csv(out_default + '.fit.gz', sep="\t")
+    t1 = pd.read_csv(out_xla + '.fit.gz', sep="\t")
+    assert np.allclose(t0['BETA'], t1['BETA'])
+    assert np.allclose(t0['PIP'], t1['PIP'])
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable] + base + ['--output-file', str(tmp / 'sweep' / 'hyb'),
+                                   '--sweep-impl', 'hybrid'],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+    assert res.returncode != 0
+    assert 'Pallas TPU kernel' in (res.stdout + res.stderr)

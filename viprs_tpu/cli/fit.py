@@ -135,6 +135,23 @@ def build_parser():
     parser.add_argument('--patience', dest='patience', type=int, default=10)
     parser.add_argument('--float-precision', dest='float_precision',
                         default='float32', choices=['float32', 'float64'])
+    parser.add_argument('--sweep-impl', dest='sweep_impl', default='auto',
+                        choices=['auto', 'xla', 'pallas', 'skip', 'hybrid'],
+                        help="E-step sweep implementation. 'auto' (default) "
+                             "applies the measured dispatch policy "
+                             "(model/_dispatch.py); explicit values override "
+                             "it — 'hybrid' is the activity-gated "
+                             "XLA/skip-kernel dispatch (single-model VIPRS "
+                             "only).")
+    parser.add_argument('--hybrid-eps', dest='hybrid_eps', type=float,
+                        default=None,
+                        help="Proposal-mask gate epsilon for the hybrid "
+                             "dispatch. Default: the fit's --x-abs-tol (a "
+                             "skipped block's foregone step is below the "
+                             "tolerance the fit converges at). Larger values "
+                             "skip more aggressively (measured at 1e-5: "
+                             "~1.4x faster at genome scale, h2 shift ~2e-4; "
+                             "BENCH.md round 5).")
     parser.add_argument('--threads', dest='threads', type=int, default=1,
                         help="Accepted for compatibility; TPU execution ignores it.")
     parser.add_argument('--n-jobs', dest='n_jobs', type=int, default=1,
@@ -334,6 +351,12 @@ def fit_model(args, model, validation_gdl, validation_ss):
                       # live ELBO progress on interactive runs (reference tqdm
                       # behavior); quiet in pipelines/captured output:
                       disable_pbar=not sys.stderr.isatty())
+    if args.sweep_impl != 'auto':
+        fit_kwargs['sweep_impl'] = args.sweep_impl
+    if args.hybrid_eps is not None and args.model == 'VIPRS':
+        # the gate epsilon is a single-model VIPRS knob (the mixture and grid
+        # fused paths have their own skip policies):
+        fit_kwargs['hybrid_eps'] = args.hybrid_eps
     if args.model == 'VIPRSGrid':
         fit_kwargs['pathwise'] = args.pathwise
 
@@ -370,9 +393,9 @@ def fit_model(args, model, validation_gdl, validation_ss):
                 logger.info("> Restoring full summary statistics and refitting "
                             "the selected model.")
                 model.restore_full_sumstats()
-                model.fit(max_iter=args.max_iter, min_iter=args.min_iter,
-                          f_abs_tol=args.f_abs_tol,
-                          x_abs_tol=args.x_abs_tol, patience=args.patience)
+                refit_kwargs = {k: v for k, v in fit_kwargs.items()
+                                if k != 'pathwise'}
+                model.fit(**refit_kwargs)
 
     return model, fit_time
 
